@@ -1,0 +1,215 @@
+"""Kalman filter updates: generic update, ZUPT family, visual track update.
+
+Port of the reference update machinery (reference: src/odometry/ekf.cpp:24-85,
+573-693, 760-844) with one structural change: all measurement matrices are
+FULL-WIDTH (n x d) fixed-shape arrays with row-validity expressed by zeroed H
+rows / residuals (instead of the reference's column-truncated H). Zeroed rows
+provably do not change the update (their Kalman gain columns vanish and S
+stays block diagonal), which lets variable-length visual tracks run as one
+static-shape XLA program.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from .chi2 import CHI2INV95
+from .state import BGA, CAM, ORI, POS, POSE_DIM, SFT, VEL, EKFState
+
+
+def _normalize_current_quat(m):
+    q = m[ORI : ORI + 4]
+    return m.at[ORI : ORI + 4].set(q / jnp.linalg.norm(q))
+
+
+def normalize_quaternions(m, cam_pose_count: int):
+    """Normalize the current + all trail quaternions; zero quats stay zero
+    (reference: ekf.cpp:1024-1032)."""
+    m = _normalize_current_quat(m)
+    for i in range(cam_pose_count):
+        s = CAM + POSE_DIM * i + 3
+        q = m[s : s + 4]
+        n = jnp.linalg.norm(q)
+        m = m.at[s : s + 4].set(jnp.where(n > 0, q / jnp.where(n > 0, n, 1.0), q))
+    return m
+
+
+def kf_update(m, P, y, H, r_diag):
+    """Generic KF update with diagonal measurement noise.
+
+    H: (n, d) full width; rows may be all-zero (masked). y: (n,) with masked
+    rows equal to (H m) rows (zero residual). r_diag: (n,) positive.
+    Returns (m, P). Mirrors the reference's `update` (ekf.cpp:57-82) +
+    updateCommon.
+    """
+    HP = H @ P  # (n, d)
+    S = HP @ H.T + jnp.diag(r_diag)
+    cho = jax.scipy.linalg.cho_factor(S)
+    K = jax.scipy.linalg.cho_solve(cho, HP)  # (n, d); true gain is K.T
+    v = y - H @ m
+    m = m + K.T @ v
+    P = P - K.T @ HP
+    m = _normalize_current_quat(m)
+    return m, P
+
+
+def _gated(s: EKFState, cond, new_s: EKFState) -> EKFState:
+    return jax.tree_util.tree_map(lambda a, b: jnp.where(cond, b, a), s, new_s)
+
+
+def _block_h(d, offset, n, dtype):
+    H = jnp.zeros((n, d), dtype=dtype)
+    return H.at[:, offset : offset + n].set(jnp.eye(n, dtype=dtype))
+
+
+def update_zupt(s: EKFState, r, noise_scale) -> EKFState:
+    """Zero-velocity update (reference: ekf.cpp:573-590); rate-limited 0.25s."""
+    do = s.time - s.zupt_time >= 0.25
+    d = s.m.shape[0]
+    H = _block_h(d, VEL, 3, s.m.dtype)
+    m, P = kf_update(s.m, s.P, jnp.zeros(3, s.m.dtype), H, jnp.full((3,), r * noise_scale, s.m.dtype))
+    new = s._replace(m=m, P=P, zupt_time=s.time, was_stationary=jnp.ones((), bool))
+    return _gated(s, do, new)
+
+
+def update_zupt_initialization(s: EKFState, init_zupt_r, noise_scale) -> EKFState:
+    """Decaying init-ZUPT (reference: ekf.cpp:594-611)."""
+    do = (~s.was_stationary) & (s.time <= 60.0) & (s.time - s.init_zupt_time >= 0.1)
+    d = s.m.shape[0]
+    H = _block_h(d, VEL, 3, s.m.dtype)
+    r = init_zupt_r * noise_scale * jnp.exp(0.5 * s.time)
+    m, P = kf_update(s.m, s.P, jnp.zeros(3, s.m.dtype), H, jnp.full((3,), 1.0, s.m.dtype) * r)
+    new = s._replace(m=m, P=P, init_zupt_time=s.time)
+    return _gated(s, do, new)
+
+
+def update_zrupt(s: EKFState, xg, rotation_zupt_r, noise_scale) -> EKFState:
+    """Zero-rotation update: gyro bias -> sample (reference: ekf.cpp:614-625)."""
+    do = s.time - s.zrupt_time >= 0.25
+    d = s.m.shape[0]
+    H = _block_h(d, BGA, 3, s.m.dtype)
+    m, P = kf_update(s.m, s.P, xg, H, jnp.full((3,), rotation_zupt_r * noise_scale, s.m.dtype))
+    new = s._replace(m=m, P=P, zrupt_time=s.time)
+    return _gated(s, do, new)
+
+
+def update_pseudo_velocity(s: EKFState, default_speed, r, noise_scale) -> EKFState:
+    """Horizontal speed clamp, rank-1 update (reference: ekf.cpp:628-649)."""
+    h = jnp.linalg.norm(s.m[VEL : VEL + 2])
+    do = h > 1e-7
+    d = s.m.shape[0]
+    hh = jnp.where(do, h, 1.0)
+    H = jnp.zeros((1, d), s.m.dtype)
+    H = H.at[0, VEL : VEL + 2].set(s.m[VEL : VEL + 2] / hh)
+    HP = H @ s.P
+    S = (HP @ H.T)[0, 0] + r * noise_scale
+    K = HP / S  # (1,d)
+    m = s.m + K[0] * (default_speed - h)
+    P = s.P - K.T @ HP
+    m = _normalize_current_quat(m)
+    return _gated(s, do, s._replace(m=m, P=P))
+
+
+def update_position(s: EKFState, pos, r, noise_scale) -> EKFState:
+    d = s.m.shape[0]
+    H = _block_h(d, POS, 3, s.m.dtype)
+    m, P = kf_update(s.m, s.P, pos, H, jnp.full((3,), r * noise_scale, s.m.dtype))
+    P = 0.5 * (P + P.T)
+    return s._replace(m=m, P=P)
+
+
+def update_zero_height(s: EKFState, r, noise_scale) -> EKFState:
+    d = s.m.shape[0]
+    H = jnp.zeros((1, d), s.m.dtype).at[0, POS + 2].set(1.0)
+    m, P = kf_update(s.m, s.P, jnp.zeros(1, s.m.dtype), H, jnp.full((1,), r * noise_scale, s.m.dtype))
+    P = 0.5 * (P + P.T)
+    return s._replace(m=m, P=P)
+
+
+def update_orientation(s: EKFState, q, r, noise_scale, cam_pose_count: int) -> EKFState:
+    d = s.m.shape[0]
+    H = _block_h(d, ORI, 4, s.m.dtype)
+    m, P = kf_update(s.m, s.P, q, H, jnp.full((4,), r * noise_scale, s.m.dtype))
+    m = normalize_quaternions(m, cam_pose_count)
+    P = 0.5 * (P + P.T)
+    return s._replace(m=m, P=P)
+
+
+# --- visual track update ---
+
+class VisualUpdateResult(NamedTuple):
+    m: jnp.ndarray
+    P: jnp.ndarray
+    is_inlier: jnp.ndarray  # () bool: passed chi2 + rmse gates
+    rmse_ok: jnp.ndarray
+    chi2_ok: jnp.ndarray
+    chi2_value: jnp.ndarray
+
+
+def visual_track_update(
+    m,
+    P,
+    H,
+    f,
+    y,
+    mask,
+    visual_r,
+    noise_scale,
+    chi_outlier_r,
+    rmse_threshold,
+    apply_update=True,
+):
+    """Masked visual track update with chi2/RMSE outlier gating.
+
+    H: (n, d) Jacobian with invalid rows zeroed; f: (n,) predicted track;
+    y: (n,) measured track; mask: (n,) bool row validity.
+    visual_r: scalar noise std-like parameter (reference: visualR/focalLength).
+    chi_outlier_r / rmse_threshold < 0 disable the respective gate.
+
+    Mirrors visualTrackOutlierCheck + updateVisualTrack
+    (reference: ekf.cpp:760-844). Returns updated (m, P) only when the gates
+    pass AND apply_update; always returns gate outcomes.
+    """
+    dtype = m.dtype
+    n = H.shape[0]
+    maskf = mask.astype(dtype)
+    H = H * maskf[:, None]
+    v = (y - f) * maskf
+    n_valid = jnp.sum(mask)
+
+    # RMSE gate
+    rmse2 = jnp.sum(v * v) / jnp.maximum(n_valid, 1)
+    rmse_ok = jnp.where(rmse_threshold >= 0, rmse2 <= rmse_threshold * rmse_threshold, True)
+
+    HP = H @ P
+    HPHt = HP @ H.T
+    eye = jnp.eye(n, dtype=dtype)
+
+    # chi2 gate uses its own noise level chi_outlier_r (reference passes
+    # chiOutlierR to visualTrackOutlierCheck and visualR to updateVisualTrack,
+    # backend.cpp:1155-1187) and the reference's noiseScale correction
+    # (ekf.cpp:808-819)
+    r_gate = (chi_outlier_r * chi_outlier_r) * noise_scale
+    S_gate = HPHt + jnp.abs(r_gate) * eye
+    Sv = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(S_gate), v)
+    chi2_value = noise_scale * jnp.dot(Sv, v)
+    idx = jnp.minimum(n_valid, len(CHI2INV95) - 1)
+    chi2_thresh = jnp.asarray(CHI2INV95, dtype=dtype)[idx]
+    chi2_ok = jnp.where(chi_outlier_r >= 0, chi2_value <= chi2_thresh, True)
+
+    is_inlier = rmse_ok & chi2_ok & (n_valid > 0)
+
+    r = (visual_r * visual_r) * noise_scale
+    S = HPHt + r * eye
+    cho = jax.scipy.linalg.cho_factor(S)
+    K = jax.scipy.linalg.cho_solve(cho, HP)  # (n,d)
+    m_new = m + K.T @ v
+    P_new = P - K.T @ HP
+    m_new = _normalize_current_quat(m_new)
+
+    do = is_inlier & apply_update
+    m_out = jnp.where(do, m_new, m)
+    P_out = jnp.where(do, P_new, P)
+    return VisualUpdateResult(m_out, P_out, is_inlier, rmse_ok, chi2_ok, chi2_value)
