@@ -1,0 +1,174 @@
+"""GFTT (Shi-Tomasi) corner detection, TPU-native.
+
+Port of the reference's shader-pipeline detector (reference:
+src/tracker/feature_detector.cpp): Sobel gradients -> 2x2 structure matrix ->
+box filter (gfttBlockSize) -> min-eigenvalue response tr/2 - sqrt((tr/2)^2 -
+det) with gfttMinResponse cutoff -> hierarchical block-max NMS -> greedy
+min-distance selection against existing tracks. The GLSL reduction shaders
+become XLA reshit/max reductions; the greedy pass is a small lax.scan.
+"""
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .pyramid import box_filter, sobel_gradients
+
+
+def corner_response(img: jnp.ndarray, block_size: int = 3) -> jnp.ndarray:
+    """Shi-Tomasi min-eigenvalue response (reference: feature_detector.cpp:220-255).
+
+    img: (H, W) float intensities in [0, 1]. Response units match the
+    reference's (which feeds [0,1]-scaled GL textures): gradients of the
+    normalized image, averaged over the block.
+    """
+    ix, iy = sobel_gradients(img)
+    # normalize Sobel like the reference shaders (1/4 per axis with unit pixel)
+    ix = ix * 0.25
+    iy = iy * 0.25
+    n = block_size * block_size
+    sxx = box_filter(ix * ix, block_size) / n
+    syy = box_filter(iy * iy, block_size) / n
+    sxy = box_filter(ix * iy, block_size) / n
+    tr2 = 0.5 * (sxx + syy)
+    det = sxx * syy - sxy * sxy
+    disc = jnp.sqrt(jnp.maximum(tr2 * tr2 - det, 0.0))
+    return tr2 - disc
+
+
+def block_max_candidates(response: jnp.ndarray, cell: int):
+    """Max response + its position per cell grid (the reference's hierarchical
+    block-max reduction, feature_detector.cpp:317-523).
+
+    Returns (scores (NC,), xy (NC, 2)) with NC = (H//cell) * (W//cell).
+    """
+    H, W = response.shape
+    Hc, Wc = H // cell, W // cell
+    r = response[: Hc * cell, : Wc * cell].reshape(Hc, cell, Wc, cell)
+    r = jnp.transpose(r, (0, 2, 1, 3)).reshape(Hc, Wc, cell * cell)
+    scores = jnp.max(r, axis=-1)
+    idx = jnp.argmax(r, axis=-1)
+    dy = idx // cell
+    dx = idx % cell
+    ys = jnp.arange(Hc)[:, None] * cell + dy
+    xs = jnp.arange(Wc)[None, :] * cell + dx
+    xy = jnp.stack([xs, ys], axis=-1).reshape(-1, 2)
+    return scores.reshape(-1), xy
+
+
+def detect_corners(
+    img: jnp.ndarray,
+    n_out: int,
+    existing_xy: jnp.ndarray,
+    existing_valid: jnp.ndarray,
+    mask_radius,
+    min_distance: float,
+    block_size: int = 3,
+    min_response: float = 1e-3,
+    n_candidates: int = 256,
+    margin: int = 5,
+    crop_fraction: float = 1.0,
+):
+    """Detect up to n_out new corners.
+
+    existing_xy: (T, 2) current track positions with validity mask; candidates
+    within mask_radius (runtime scalar; reference: adaptive mask,
+    tracker.cpp:560-575) of an existing track, or within min_distance of a
+    stronger selected candidate, are rejected (greedy, response-ordered;
+    reference: feature_detector.cpp:620-636).
+
+    Returns (xy (n_out, 2), score (n_out,), valid (n_out,)).
+    """
+    H, W = img.shape
+    resp = corner_response(img, block_size)
+    cell = max(int(min_distance) // 2, 2)
+    scores, xy = block_max_candidates(resp, cell)
+
+    # border margin + optional central-crop (reference: partOfImageToDetectFeatures)
+    x, y = xy[..., 0], xy[..., 1]
+    ok = (x >= margin) & (x < W - margin) & (y >= margin) & (y < H - margin)
+    if crop_fraction < 1.0:
+        xd = W * (1 - crop_fraction) / 2
+        yd = H * (1 - crop_fraction) / 2
+        ok &= (x >= xd) & (x < W - xd) & (y >= yd) & (y < H - yd)
+    ok &= scores > min_response
+    scores = jnp.where(ok, scores, -jnp.inf)
+
+    k = min(n_candidates, scores.shape[0])
+    top_scores, top_idx = jax.lax.top_k(scores, k)
+    top_xy = xy[top_idx].astype(img.dtype)
+
+    # reject near existing tracks
+    d2_exist = jnp.sum(
+        (top_xy[:, None, :] - existing_xy[None, :, :]) ** 2, axis=-1)
+    near_exist = jnp.any(
+        (d2_exist < mask_radius * mask_radius) & existing_valid[None, :], axis=1)
+    cand_ok = jnp.isfinite(top_scores) & ~near_exist
+
+    # greedy min-distance among candidates (response-ordered = top_k order)
+    min_d2 = min_distance * min_distance
+    d2 = jnp.sum((top_xy[:, None, :] - top_xy[None, :, :]) ** 2, axis=-1)
+
+    def body(selected, i):
+        near_sel = jnp.any(selected & (d2[i] < min_d2))
+        take = cand_ok[i] & ~near_sel
+        return selected.at[i].set(take), take
+
+    selected0 = jnp.zeros((k,), bool)
+    _, taken = jax.lax.scan(body, selected0, jnp.arange(k))
+
+    # compact the first n_out taken candidates
+    order = jnp.argsort(~taken, stable=True)  # taken first, in response order
+    out_idx = order[:n_out]
+    out_valid = taken[out_idx]
+    out_xy = top_xy[out_idx]
+    out_scores = top_scores[out_idx]
+    return out_xy, out_scores, out_valid
+
+
+def subpixel_refine(img: jnp.ndarray, xy: jnp.ndarray, window: int = 10,
+                    iters: int = 5):
+    """Corner subpixel refinement (reference: src/tracker/subpixel_adjuster.cpp
+    wrapping cv::cornerSubPix). Gradient-product centroid iteration over a
+    (2*window+1)^2 neighborhood; out-of-bounds results revert."""
+    from .pyramid import bilinear_sample
+
+    H, W = img.shape
+    r = window
+    offs = jnp.stack(
+        jnp.meshgrid(jnp.arange(-r, r + 1, dtype=img.dtype),
+                     jnp.arange(-r, r + 1, dtype=img.dtype), indexing="xy"),
+        axis=-1,
+    ).reshape(-1, 2)
+    # cornerSubPix weighting mask (gaussian-free: OpenCV uses uniform + taper;
+    # use uniform here)
+
+    def refine_one(p0):
+        def body(_, p):
+            pts = p[None, :] + offs
+            # central-difference gradients at sample points
+            gx = (bilinear_sample(img, pts + jnp.asarray([1.0, 0.0], img.dtype))
+                  - bilinear_sample(img, pts - jnp.asarray([1.0, 0.0], img.dtype))) * 0.5
+            gy = (bilinear_sample(img, pts + jnp.asarray([0.0, 1.0], img.dtype))
+                  - bilinear_sample(img, pts - jnp.asarray([0.0, 1.0], img.dtype))) * 0.5
+            gxx = jnp.sum(gx * gx)
+            gyy = jnp.sum(gy * gy)
+            gxy = jnp.sum(gx * gy)
+            bx = jnp.sum(gx * gx * pts[:, 0] + gx * gy * pts[:, 1])
+            by = jnp.sum(gx * gy * pts[:, 0] + gy * gy * pts[:, 1])
+            det = gxx * gyy - gxy * gxy
+            ok = jnp.abs(det) > 1e-12
+            safe_det = jnp.where(ok, det, 1.0)
+            nx = (gyy * bx - gxy * by) / safe_det
+            ny = (-gxy * bx + gxx * by) / safe_det
+            return jnp.where(ok, jnp.stack([nx, ny]), p)
+
+        p = jax.lax.fori_loop(0, iters, body, p0)
+        in_bounds = (p[0] >= 0) & (p[0] < W) & (p[1] >= 0) & (p[1] < H)
+        moved_ok = jnp.linalg.norm(p - p0) < 2.0 * window
+        return jnp.where(in_bounds & moved_ok, p, p0)
+
+    return jax.vmap(refine_one)(xy)

@@ -1,0 +1,524 @@
+"""The odometry backend: one jitted frame step.
+
+Port of the reference Session::process + trackerVisualUpdate orchestration
+(reference: src/odometry/backend.cpp:716-1290) redesigned as a single
+fixed-shape XLA program per frame:
+
+    frame_step(state, imu_batch, tracker_input) -> (state, output)
+
+  * the IMU samples between frames run as a lax.scan of EKF predicts +
+    control updates (the reference processes them one by one at ~400 Hz on a
+    thread; here they are a fused on-device scan),
+  * the per-track visual-update loop (budgeted, sequential, order-randomized)
+    becomes a lax.scan over a candidate list chosen on device,
+  * keyframe push/pop maps to the gather-permutations shared by the trail
+    store and the EKF augmentation ops.
+
+The tracker is an input interface (TrackerInput): the image front-end
+(frontend/) or a synthetic ground-truth tracker (io/synthetic.py) both
+produce it, which keeps the estimator testable without the vision stack
+(mirroring how reference tests construct SampleSync/EKF directly).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import ekf as ekf_mod
+from ..ekf import (
+    BGA, CAM, INER_DIM, ORI, POS, POSE_DIM, SFT, VEL, EKFState,
+    augment_pose, init_state, initialize_orientation, make_predict,
+    undo_augmentation, update_pseudo_velocity, update_zupt,
+    update_zupt_initialization, visual_track_update, insert_map_point,
+    map_point_offset,
+)
+from ..geometry.cameras import Camera, normalize_pixel
+from . import trail as tr
+from .visual_update import make_prepare_track_update
+from .triangulation import TRI_OK
+
+# tracking status (reference: src/api/types.hpp:34-38)
+STATUS_INIT = 0
+STATUS_TRACKING = 1
+STATUS_LOST_TRACKING = 2
+
+# point cloud feature status (reference: src/odometry/output.hpp:31-44)
+PF_UNUSED = 0
+PF_POSE_TRAIL = 1
+PF_HYBRID = 2
+PF_SLAM = 3
+PF_OUTLIER = 4
+PF_STEREO = 5
+
+
+class TrackerInput(NamedTuple):
+    """Output of the tracker front-end for one frame (fixed shapes).
+
+    T track slots; C cameras. Tracks must already be optical-flow tracked and
+    RANSAC-filtered (status TRACKED in reference terms).
+    """
+
+    track_ids: jnp.ndarray  # (T,) int32, -1 = empty slot
+    pixels: jnp.ndarray  # (T, C, 2) current pixel positions
+    keyframe: jnp.ndarray  # () bool: tracker keyframe decision
+    # stereo-only extras (zeros when mono):
+    stereo_depth: jnp.ndarray  # (T,) dense-depth at track, -1 = none
+
+
+class ImuBatch(NamedTuple):
+    t: jnp.ndarray  # (S,)
+    gyro: jnp.ndarray  # (S, 3)
+    acc: jnp.ndarray  # (S, 3)
+    valid: jnp.ndarray  # (S,) bool
+
+
+class BackendState(NamedTuple):
+    ekf: EKFState
+    trail: tr.TrailState
+    blacklist_flags: jnp.ndarray  # (T,) bool: slot blacklisted last frame
+    blacklist_ids: jnp.ndarray  # (T,) int32: the id the flag belongs to
+    frames_since_keyframe: jnp.ndarray  # () int32
+    orientation_initialized: jnp.ndarray  # () bool
+    vu_window: jnp.ndarray  # (W,) good-frame history (1/0), ring
+    vu_window_count: jnp.ndarray  # () int32 entries so far
+    vu_window_pos: jnp.ndarray  # () int32
+    tracking_status: jnp.ndarray  # () int32
+    rng: jnp.ndarray  # jax PRNG key
+    frame_number: jnp.ndarray  # () int32
+
+
+class FrameOutput(NamedTuple):
+    t: jnp.ndarray  # ()
+    position: jnp.ndarray  # (3,)
+    velocity: jnp.ndarray  # (3,)
+    orientation: jnp.ndarray  # (4,)
+    bias_gyro: jnp.ndarray  # (3,)
+    bias_acc: jnp.ndarray  # (3,)
+    position_cov: jnp.ndarray  # (3,3)
+    velocity_cov: jnp.ndarray  # (3,3)
+    tracking_status: jnp.ndarray  # () int32
+    stationary_visual: jnp.ndarray  # () bool
+    point_cloud: jnp.ndarray  # (NV, 3)
+    point_cloud_status: jnp.ndarray  # (NV,) int32 (PF_*)
+    point_cloud_ids: jnp.ndarray  # (NV,) int32
+    pose_trail: jnp.ndarray  # (L, 7) trail pose states
+    pose_trail_times: jnp.ndarray  # (L,)
+    good_frame: jnp.ndarray  # () bool
+
+
+def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
+                 dtype=jnp.float64, n_visual_candidates: Optional[int] = None):
+    """Build (init_fn, frame_step) for static parameters.
+
+    params: Parameters; derived: DerivedParameters; cameras: (cam0,) or
+    (cam0, cam1) Camera models.
+    """
+    po = params.odometry
+    pt = params.tracker
+    use_stereo = bool(pt.useStereo)
+    n_cams = 2 if use_stereo else 1
+    T = max_tracks if max_tracks is not None else pt.maxTracks
+    L = po.cameraTrailLength
+    K = L + 1
+    M = po.hybridMapSize
+    d = ekf_mod.state_dim(L, M)
+    noise_scale = po.noiseScale**2
+    sampling = tr.SAMPLING[po.trackSampling]
+    if n_visual_candidates is None:
+        NV = min(T, (po.maxVisualUpdates if po.maxVisualUpdates > 0 else T) + 12)
+    else:
+        NV = n_visual_candidates
+    W = max(int(pt.targetFps / max(po.visualUpdateForEveryNFrame, 1)
+                * po.goodFramesTimeWindowSeconds), 1)
+
+    predict = make_predict(po, dtype)
+    prepare = make_prepare_track_update(
+        po, derived.imu_to_camera, derived.second_imu_to_camera, use_stereo, d, dtype)
+
+    def init_fn(rng_key=None) -> BackendState:
+        return BackendState(
+            ekf=init_state(po, dtype),
+            trail=tr.init_trail(po, T, n_cams, dtype),
+            blacklist_flags=jnp.zeros((T,), dtype=bool),
+            blacklist_ids=jnp.full((T,), -1, dtype=jnp.int32),
+            frames_since_keyframe=jnp.zeros((), jnp.int32),
+            orientation_initialized=jnp.zeros((), bool),
+            vu_window=jnp.zeros((W,), dtype=dtype),
+            vu_window_count=jnp.zeros((), jnp.int32),
+            vu_window_pos=jnp.zeros((), jnp.int32),
+            tracking_status=jnp.asarray(STATUS_INIT, jnp.int32),
+            rng=rng_key if rng_key is not None else jax.random.PRNGKey(po.rngSeed),
+            frame_number=jnp.zeros((), jnp.int32),
+        )
+
+    # ------------------------------------------------------------------ IMU
+    def imu_scan(state: BackendState, batch: ImuBatch) -> BackendState:
+        def body(s, inp):
+            t, g, a, valid = inp
+
+            def process(s):
+                ekf = s.ekf
+                ekf = jax.lax.cond(
+                    s.orientation_initialized,
+                    lambda e: e,
+                    lambda e: initialize_orientation(e, a, po.noiseInitialOri, noise_scale),
+                    ekf,
+                )
+                ekf = predict(ekf, t, g, a)
+                # normalize current quaternion (reference: backend.cpp:736)
+                q = ekf.m[ORI:ORI + 4]
+                ekf = ekf._replace(m=ekf.m.at[ORI:ORI + 4].set(q / jnp.linalg.norm(q)))
+                if po.useDecayingZeroVelocityUpdate:
+                    ekf = update_zupt_initialization(ekf, po.initZuptR, noise_scale)
+                if po.usePseudoVelocity:
+                    h = jnp.linalg.norm(ekf.m[VEL:VEL + 2])
+                    ekf = jax.lax.cond(
+                        h > po.pseudoVelocityLimit,
+                        lambda e: update_pseudo_velocity(e, po.pseudoVelocityTarget, po.pseudoVelocityR, noise_scale),
+                        lambda e: e,
+                        ekf,
+                    )
+                return s._replace(ekf=ekf, orientation_initialized=jnp.ones((), bool))
+
+            return jax.lax.cond(valid, process, lambda s_: s_, s), None
+
+        state, _ = jax.lax.scan(
+            body, state, (batch.t, batch.gyro, batch.acc, batch.valid))
+        return state
+
+    # --------------------------------------------------------- visual update
+    def gather_pose_states(m):
+        """(K,7) pose states: row 0 = current pose, row k = trail pose k-1."""
+        cur = jnp.concatenate([m[POS:POS + 3], m[ORI:ORI + 4]])
+        trail_block = m[CAM:CAM + POSE_DIM * L].reshape(L, POSE_DIM)
+        return jnp.concatenate([cur[None, :], trail_block], axis=0)
+
+    def visual_update_phase(state: BackendState, track_ids, norm_pts, valid,
+                            rng, full_visual_update):
+        trail_state = state.trail
+        ekf = state.ekf
+
+        # --- candidate scoring & ordering (reference: backend.cpp:961-1010) ---
+        exists_head = tr.feature_exists(trail_state, track_ids)  # (K, T)
+        scores = tr.track_scores(trail_state, track_ids, sampling)  # (T,)
+        # per-track pose selections (GAP/ALL are deterministic; RANDOM uses keys)
+        rng, sel_key = jax.random.split(rng)
+        sel_keys = jax.random.split(sel_key, T)
+        select_all = jax.vmap(
+            lambda slot, key: tr.select_track_poses(
+                trail_state, slot, track_ids, sampling, key, po.randomTrackSamplingRatio),
+            out_axes=(0, 0),
+        )(jnp.arange(T), sel_keys)
+        selected_all, exists_all = select_all  # (T, K) each
+        n_sel = jnp.sum(selected_all, axis=1)  # (T,)
+
+        is_map_point = jnp.zeros((T,), dtype=bool)
+        mp_index_of_track = jnp.full((T,), -1, jnp.int32)
+        if M > 0:
+            mp_ids = trail_state.map_point_ids  # (M,)
+            hits = (track_ids[:, None] == mp_ids[None, :]) & (track_ids[:, None] >= 0)
+            is_map_point = jnp.any(hits, axis=1)
+            mp_index_of_track = jnp.where(
+                is_map_point, jnp.argmax(hits, axis=1), -1).astype(jnp.int32)
+
+        # blacklist carry-over by id match (reference: backend.cpp:1041-1053)
+        was_blacklisted = state.blacklist_flags & (state.blacklist_ids == track_ids) & valid
+
+        cand = valid & exists_head[0]
+        if po.scoreVisualUpdateTracks:
+            # median score over candidates (reference uses the sorted middle)
+            cscores = jnp.where(cand, scores, jnp.inf)
+            n_cand = jnp.sum(cand)
+            sorted_scores = jnp.sort(cscores)
+            min_score = jnp.where(
+                n_cand > 0, sorted_scores[jnp.clip(n_cand // 2, 0, T - 1)], -1.0)
+        else:
+            min_score = -jnp.inf
+        if po.scoreVisualUpdateTracks:
+            ok_score = (scores >= min_score) | is_map_point
+        else:
+            ok_score = jnp.ones((T,), bool)
+        ok_len = (n_sel >= po.trackMinFrames) | is_map_point
+        if not full_visual_update:
+            ok_lite = is_map_point
+        else:
+            ok_lite = jnp.ones((T,), bool)
+        eligible = cand & ok_score & ok_len & ok_lite & ~was_blacklisted
+
+        # random iteration order, map points first (reference: shuffle + stable
+        # partition, backend.cpp:963-975)
+        rng, perm_key = jax.random.split(rng)
+        noise = jax.random.uniform(perm_key, (T,), dtype=dtype)
+        priority = (
+            jnp.where(eligible, 0.0, 10.0)
+            + jnp.where(is_map_point, 0.0, 1.0)
+            + noise * 0.5
+        )
+        order = jnp.argsort(priority)[:NV]  # (NV,) slot indices
+
+        visual_r = po.visualR / float(_focal(cameras[0]))
+        rmse_thr0 = po.trackRmseThreshold / float(_focal(cameras[0]))
+        chi_r0 = po.trackChiTestOutlierR / float(_focal(cameras[0]))
+        if po.trackRmseThreshold < 0:
+            rmse_thr0 = -1.0
+        if po.trackChiTestOutlierR < 0:
+            chi_r0 = -1.0
+
+        # --- the sequential per-track update scan ---
+        def body(carry, slot):
+            (m, P, kf_used, mp_ids_arr, attempts, successes,
+             rmse_thr, chi_r, bl_flags, bl_ids) = carry
+            tstate = trail_state._replace(kf_used=kf_used, map_point_ids=mp_ids_arr)
+
+            active = eligible[slot]
+            mp = is_map_point[slot]
+            need_more = ((po.maxSuccessfulVisualUpdates <= 0) | (successes < po.maxSuccessfulVisualUpdates)) & \
+                        ((po.maxVisualUpdates <= 0) | (attempts < po.maxVisualUpdates))
+
+            sel = selected_all[slot]  # (K,)
+            pose_states = gather_pose_states(m)
+            # masked poses fall back to the current pose to keep math finite
+            ps = jnp.where(sel[:, None], pose_states, pose_states[0][None, :])
+            trail_index = jnp.arange(K, dtype=jnp.int32)
+            ips = trail_state.kf_norm[:, slot]  # (K, C, 2)
+            ips = jnp.swapaxes(ips, 0, 1).reshape(n_cams * K, 2)
+            vels = jnp.swapaxes(trail_state.kf_vel[:, slot], 0, 1).reshape(n_cams * K, 2)
+
+            if M > 0:
+                mp_idx = mp_index_of_track[slot]
+                mp_off = jnp.where(
+                    mp, d - 3 * M + 3 * jnp.maximum(mp_idx, 0), d)  # d -> dropped
+                mp_val = jax.lax.dynamic_slice(
+                    m, (jnp.clip(mp_off, 0, d - 3),), (3,))
+                out = prepare(ps, trail_index, ips, vels, sel,
+                              map_point=jnp.where(mp, mp_val, jnp.zeros(3, dtype)),
+                              map_point_offset=jnp.where(mp, mp_off, d))
+                out_tri = prepare(ps, trail_index, ips, vels, sel)
+                # choose between hybrid and triangulated forms
+                out = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(mp, a, b), out, out_tri)
+            else:
+                out = prepare(ps, trail_index, ips, vels, sel)
+
+            tri_ok = (out.tri_status == TRI_OK) | mp
+            prep_ok = out.prepare_status == 0
+            do_update = active & need_more & tri_ok & prep_ok
+
+            res = visual_track_update(
+                m, P, out.H, out.f, out.y, out.row_mask,
+                visual_r, noise_scale, chi_r, rmse_thr,
+                apply_update=do_update)
+
+            inlier = res.is_inlier & do_update
+            applied = inlier
+
+            # hybrid map point promotion (reference: backend.cpp:1163-1168)
+            if M > 0:
+                promote = inlier & ~mp & (n_sel[slot] >= po.trackMinFrames)
+                mp_slot_idx, tstate2 = tr.offer_map_point(tstate, track_ids[slot])
+                can_promote = promote & (mp_slot_idx >= 0)
+                mp_ids_new = jnp.where(can_promote, tstate2.map_point_ids, mp_ids_arr)
+                off = d - 3 * M + 3 * jnp.maximum(mp_slot_idx, 0)
+                ekf_tmp = EKFState(m=res.m, P=res.P, time=ekf.time,
+                                   prev_sample_t=ekf.prev_sample_t,
+                                   first_sample_t=ekf.first_sample_t,
+                                   got_first_sample=ekf.got_first_sample,
+                                   zupt_time=ekf.zupt_time, zrupt_time=ekf.zrupt_time,
+                                   init_zupt_time=ekf.init_zupt_time,
+                                   was_stationary=ekf.was_stationary,
+                                   augment_count=ekf.augment_count,
+                                   pose_times=ekf.pose_times)
+                ekf_ins = insert_map_point(ekf_tmp, off, out.pf)
+                # when promoting: skip the regular EKF update, insert instead
+                m_new = jnp.where(can_promote, ekf_ins.m, res.m)
+                P_new = jnp.where(can_promote, ekf_ins.P, res.P)
+            else:
+                mp_ids_new = mp_ids_arr
+                m_new, P_new = res.m, res.P
+
+            # mark used (reference: markTrackUsed after successful update)
+            tstate_used = tr.mark_track_used(
+                tstate, slot, sel, sampling, track_ids)
+            kf_used_new = jnp.where(applied, tstate_used.kf_used, kf_used)
+
+            # outlier -> grow thresholds + blacklist (reference: backend.cpp:1189-1214)
+            outlier = do_update & ~res.is_inlier
+            growth = po.trackOutlierThresholdGrowthFactor
+            rmse_thr = jnp.where(outlier & (rmse_thr >= 0), rmse_thr * growth, rmse_thr)
+            chi_r = jnp.where(outlier & (chi_r >= 0), chi_r * growth, chi_r)
+            should_blacklist = active & need_more & ~inlier & po.blacklistTracks
+            bl = should_blacklist
+            bl_flags = bl_flags.at[slot].set(bl_flags[slot] | bl)
+            bl_ids = bl_ids.at[slot].set(jnp.where(bl, track_ids[slot], bl_ids[slot]))
+
+            attempts = attempts + jnp.where(active & ~mp & need_more, 1, 0)
+            successes = successes + jnp.where(inlier, 1, 0)
+
+            pc_point = jnp.where(active & (tri_ok | mp), out.pf, jnp.zeros(3, dtype))
+            pc_status = jnp.where(
+                ~active, PF_UNUSED,
+                jnp.where(mp, PF_HYBRID,
+                          jnp.where(inlier, PF_POSE_TRAIL,
+                                    jnp.where(do_update, PF_OUTLIER, PF_UNUSED))))
+            pc_valid = active & (tri_ok | mp)
+            pc_id = jnp.where(pc_valid, track_ids[slot], -1)
+
+            carry = (m_new, P_new, kf_used_new, mp_ids_new, attempts, successes,
+                     rmse_thr, chi_r, bl_flags, bl_ids)
+            return carry, (pc_point, pc_status.astype(jnp.int32), pc_id)
+
+        init_carry = (
+            ekf.m, ekf.P, trail_state.kf_used, trail_state.map_point_ids,
+            jnp.zeros((), jnp.int32), jnp.zeros((), jnp.int32),
+            jnp.asarray(rmse_thr0, dtype), jnp.asarray(chi_r0, dtype),
+            jnp.zeros((T,), bool), jnp.full((T,), -1, jnp.int32),
+        )
+        carry, (pc_points, pc_status, pc_ids) = jax.lax.scan(body, init_carry, order)
+        (m, P, kf_used, mp_ids_arr, attempts, successes, _, _, bl_flags, bl_ids) = carry
+
+        # blacklisted-last-frame tracks stay blacklisted until the tracker
+        # replaces them (reference: backend.cpp:1046-1050)
+        if po.blacklistTracks:
+            bl_flags = bl_flags | was_blacklisted
+            bl_ids = jnp.where(was_blacklisted, track_ids, bl_ids)
+
+        # symmetrize once per frame (reference: backend.cpp:1265-1267)
+        P = 0.5 * (P + P.T)
+        ekf = ekf._replace(m=m, P=P)
+        trail_state = trail_state._replace(kf_used=kf_used, map_point_ids=mp_ids_arr)
+
+        too_many_failures = (attempts - successes) > 5
+        need_more_final = ((po.maxSuccessfulVisualUpdates <= 0) | (successes < po.maxSuccessfulVisualUpdates)) & \
+                          ((po.maxVisualUpdates <= 0) | (attempts < po.maxVisualUpdates))
+        state = state._replace(ekf=ekf, trail=trail_state, rng=rng,
+                               blacklist_flags=bl_flags, blacklist_ids=bl_ids)
+        return state, (pc_points, pc_status, pc_ids), need_more_final, too_many_failures
+
+    # ------------------------------------------------------------- the step
+    def frame_step(state: BackendState, imu: ImuBatch, tracker_in: TrackerInput):
+        state = imu_scan(state, imu)
+        ekf = state.ekf
+        t_frame = ekf.prev_sample_t
+
+        frame_number = state.frame_number + 1
+        state = state._replace(frame_number=frame_number)
+
+        full_visual_update = True
+        if po.visualUpdateForEveryNFrame > 1:
+            full_visual_update = (frame_number % po.visualUpdateForEveryNFrame) == 0
+
+        # keyframe & stationarity accounting (reference: backend.cpp:763-790)
+        keyframe = tracker_in.keyframe
+        frames_since_kf = jnp.where(keyframe, 0, state.frames_since_keyframe + 1)
+        stationary_visual = frames_since_kf >= po.visualStationarityFrameCountThreshold
+        ekf = state.ekf
+        if po.useVisualStationarity:
+            ekf = jax.lax.cond(
+                stationary_visual,
+                lambda e: update_zupt(e, po.visualZuptR, noise_scale),
+                lambda e: e, ekf)
+        state = state._replace(ekf=ekf, frames_since_keyframe=frames_since_kf)
+
+        if isinstance(full_visual_update, bool):
+            keyframe_eff = keyframe if full_visual_update else jnp.zeros((), bool)
+        else:
+            keyframe_eff = keyframe & full_visual_update
+
+        # non-keyframe: drop head keyframe + undo augmentation
+        def drop_head(st):
+            return st._replace(
+                trail=tr.pop_head_keyframe(st.trail),
+                ekf=undo_augmentation(st.ekf, L, M),
+            )
+
+        if po.visualUpdateEnabled:
+            state = jax.lax.cond(keyframe_eff, lambda st: st, drop_head, state)
+
+            # normalize current pixels & insert into head keyframe
+            norm0, ok0 = normalize_pixel(cameras[0], tracker_in.pixels[:, 0, :])
+            if use_stereo:
+                norm1, ok1 = normalize_pixel(cameras[1], tracker_in.pixels[:, 1, :])
+                norm = jnp.stack([norm0, norm1], axis=1)
+                ok = ok0 & ok1
+            else:
+                norm = norm0[:, None, :]
+                ok = ok0
+            valid = (tracker_in.track_ids >= 0) & ok
+
+            trail_state = tr.insert_head_features(
+                state.trail, tracker_in.track_ids, norm,
+                tracker_in.pixels[:, 0, :], valid, timestamp=t_frame,
+                estimate_velocities=bool(po.estimateImuCameraTimeShift))
+            trail_state = trail_state._replace(
+                kf_frame_num=trail_state.kf_frame_num.at[0].set(frame_number))
+            trail_state = tr.prune(trail_state, jnp.where(valid, tracker_in.track_ids, -1))
+            state = state._replace(trail=trail_state)
+
+            rng, vu_rng = jax.random.split(state.rng)
+            state = state._replace(rng=rng)
+            state, pc, need_more, too_many_failures = visual_update_phase(
+                state, jnp.where(valid, tracker_in.track_ids, -1), norm, valid,
+                vu_rng, True)
+
+            good_frame = (stationary_visual | ~need_more) & ~too_many_failures
+
+            # push new head keyframe + EKF augmentation
+            removed, counter = tr.removed_keyframe_index(
+                state.trail, jnp.where(valid, tracker_in.track_ids, -1), po)
+            trail_state = state.trail._replace(frame_counter=counter)
+            trail_state = tr.push_head_keyframe(trail_state, removed, frame_number, t_frame)
+            ekf = augment_pose(state.ekf, removed - 1, po)
+            state = state._replace(ekf=ekf, trail=trail_state)
+
+            # tracking status from good-frame window (reference: backend.cpp:806-819)
+            vu_window = state.vu_window.at[state.vu_window_pos].set(
+                jnp.where(good_frame, 1.0, 0.0))
+            pos_ = (state.vu_window_pos + 1) % W
+            count = jnp.minimum(state.vu_window_count + 1, W)
+            mean_vu = jnp.sum(vu_window) / jnp.maximum(count, 1)
+            enough = count > W // 2
+            status = state.tracking_status
+            status = jnp.where(
+                enough & (status != STATUS_TRACKING) & (mean_vu > po.goodFramesToTracking),
+                STATUS_TRACKING, status)
+            status = jnp.where(
+                enough & (status == STATUS_TRACKING) & (mean_vu < po.goodFramesToTrackingFailed),
+                STATUS_LOST_TRACKING, status)
+            state = state._replace(
+                vu_window=vu_window, vu_window_pos=pos_, vu_window_count=count,
+                tracking_status=status.astype(jnp.int32))
+        else:
+            pc = (jnp.zeros((NV, 3), dtype), jnp.zeros((NV,), jnp.int32),
+                  jnp.full((NV,), -1, jnp.int32))
+            good_frame = jnp.zeros((), bool)
+
+        ekf = state.ekf
+        out = FrameOutput(
+            t=t_frame,
+            position=ekf.m[POS:POS + 3],
+            velocity=ekf.m[VEL:VEL + 3],
+            orientation=ekf.m[ORI:ORI + 4],
+            bias_gyro=ekf.m[BGA:BGA + 3],
+            bias_acc=ekf.m[13:16],
+            position_cov=ekf.P[POS:POS + 3, POS:POS + 3],
+            velocity_cov=ekf.P[VEL:VEL + 3, VEL:VEL + 3],
+            tracking_status=state.tracking_status,
+            stationary_visual=stationary_visual,
+            point_cloud=pc[0],
+            point_cloud_status=pc[1],
+            point_cloud_ids=pc[2],
+            pose_trail=ekf.m[CAM:CAM + POSE_DIM * L].reshape(L, POSE_DIM),
+            pose_trail_times=ekf.pose_times,
+            good_frame=good_frame,
+        )
+        return state, out
+
+    return init_fn, frame_step
+
+
+def _focal(cam: Camera) -> float:
+    return float(np.asarray(cam.fx) + np.asarray(cam.fy)) * 0.5

@@ -1,0 +1,158 @@
+"""Front-end tests: pyramid, GFTT detection, pyramidal LK, RANSAC2."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hybvio_tpu.frontend.pyramid import (
+    bilinear_sample, build_pyramid, pyr_down, scharr_gradients,
+)
+from hybvio_tpu.frontend.gftt import corner_response, detect_corners
+from hybvio_tpu.frontend.lk import LKParams, lk_track_pyramid, precompute_prev
+from hybvio_tpu.frontend.ransac import ransac2
+from hybvio_tpu.geometry.cameras import build_pinhole
+from hybvio_tpu.io.synthetic import render_frame
+
+
+def checkerboard(h, w, size=16):
+    yy, xx = np.mgrid[0:h, 0:w]
+    return (((yy // size) + (xx // size)) % 2).astype(np.float32)
+
+
+def textured_image(h=120, w=160, seed=0):
+    rng = np.random.RandomState(seed)
+    pts = np.stack([rng.rand(40) * (w - 20) + 10, rng.rand(40) * (h - 20) + 10], axis=1)
+    depths = np.ones(40)
+    return render_frame(pts, depths, np.ones(40, bool), w, h, seed=seed), pts
+
+
+def shift_image(img, dx, dy):
+    """Subpixel shift via bilinear sampling."""
+    h, w = img.shape
+    yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+    pts = jnp.asarray(np.stack([xx - dx, yy - dy], axis=-1))
+    return np.asarray(bilinear_sample(jnp.asarray(img), pts))
+
+
+def test_pyr_down_shape_and_smoothing():
+    img = jnp.asarray(checkerboard(64, 96))
+    d = pyr_down(img)
+    assert d.shape == (32, 48)
+    assert float(d.min()) >= 0.0 and float(d.max()) <= 1.0
+    pyr = build_pyramid(img, 3)
+    assert pyr[3].shape == (8, 12)
+
+
+def test_bilinear_sample_exact_on_grid():
+    img = jnp.asarray(np.arange(20.0).reshape(4, 5))
+    v = bilinear_sample(img, jnp.asarray([[2.0, 1.0], [0.5, 0.0]]))
+    np.testing.assert_allclose(np.asarray(v), [7.0, 0.5])
+
+
+def test_corner_response_peaks_on_corners():
+    img = jnp.asarray(checkerboard(64, 64, 16))
+    resp = np.asarray(corner_response(img))
+    # corners of the checkerboard squares (multiples of 16) respond strongest
+    peak = np.unravel_index(resp[8:-8, 8:-8].argmax(), resp[8:-8, 8:-8].shape)
+    py, px = peak[0] + 8, peak[1] + 8
+    assert min(py % 16, 16 - py % 16) <= 2
+    assert min(px % 16, 16 - px % 16) <= 2
+
+
+def test_detect_corners_finds_blobs():
+    img_np, pts = textured_image()
+    img = jnp.asarray(img_np)
+    no_exist = jnp.zeros((1, 2)), jnp.zeros((1,), bool)
+    xy, score, valid = detect_corners(
+        img, 24, no_exist[0], no_exist[1], mask_radius=0.0, min_distance=8.0,
+        min_response=1e-4)
+    xy = np.asarray(xy)[np.asarray(valid)]
+    assert len(xy) >= 10
+    # each detected corner should be near some blob center
+    d = np.linalg.norm(xy[:, None, :] - pts[None, :, :], axis=-1).min(axis=1)
+    assert np.median(d) < 3.0
+    # detections respect min distance
+    if len(xy) > 1:
+        dd = np.linalg.norm(xy[:, None] - xy[None, :], axis=-1)
+        dd[np.arange(len(xy)), np.arange(len(xy))] = 1e9
+        assert dd.min() >= 8.0 - 1e-6
+
+
+def test_detect_corners_masks_existing():
+    img_np, pts = textured_image()
+    img = jnp.asarray(img_np)
+    exist = jnp.asarray(pts[:20])
+    exist_valid = jnp.ones((20,), bool)
+    xy, score, valid = detect_corners(
+        img, 24, exist, exist_valid, mask_radius=10.0, min_distance=8.0,
+        min_response=1e-4)
+    xy = np.asarray(xy)[np.asarray(valid)]
+    if len(xy):
+        d = np.linalg.norm(xy[:, None, :] - pts[None, :20, :], axis=-1).min(axis=1)
+        assert d.min() >= 10.0 - 1e-6
+
+
+def test_lk_recovers_translation():
+    img_np, pts = textured_image(h=160, w=200, seed=3)
+    dx, dy = 3.3, -2.6
+    cur_np = shift_image(img_np, dx, dy)
+    params = LKParams(window_size=15, max_level=2, max_iter=20)
+    prev_pyr, prev_grads = precompute_prev(jnp.asarray(img_np), params)
+    cur_pyr = build_pyramid(jnp.asarray(cur_np), params.max_level)
+    p0 = jnp.asarray(pts[(pts[:, 0] > 25) & (pts[:, 0] < 175) & (pts[:, 1] > 25) & (pts[:, 1] < 135)])
+    new_pts, status, min_eig = lk_track_pyramid(prev_pyr, prev_grads, cur_pyr, p0, params=params)
+    ok = np.asarray(status) == 0
+    assert ok.sum() >= max(3, int(0.6 * len(np.asarray(p0))))
+    flow = np.asarray(new_pts)[ok] - np.asarray(p0)[ok]
+    med = np.median(flow, axis=0)
+    np.testing.assert_allclose(med, [dx, dy], atol=0.25)
+
+
+def test_lk_initial_guess():
+    img_np, pts = textured_image(h=160, w=200, seed=4)
+    dx, dy = 9.0, 7.0  # large flow: needs the guess with a small window
+    cur_np = shift_image(img_np, dx, dy)
+    params = LKParams(window_size=9, max_level=0, max_iter=20)
+    prev_pyr, prev_grads = precompute_prev(jnp.asarray(img_np), params)
+    cur_pyr = build_pyramid(jnp.asarray(cur_np), params.max_level)
+    sel = (pts[:, 0] > 30) & (pts[:, 0] < 160) & (pts[:, 1] > 30) & (pts[:, 1] < 130)
+    p0 = jnp.asarray(pts[sel])
+    guess = p0 + jnp.asarray([dx - 0.8, dy + 0.7])
+    new_pts, status, _ = lk_track_pyramid(
+        prev_pyr, prev_grads, cur_pyr, p0, initial_pts=guess, params=params)
+    ok = np.asarray(status) == 0
+    flow = np.asarray(new_pts)[ok] - np.asarray(p0)[ok]
+    med = np.median(flow, axis=0)
+    np.testing.assert_allclose(med, [dx, dy], atol=0.3)
+
+
+def test_ransac2_pure_rotation_with_outliers():
+    cam = build_pinhole(300.0, 300.0, 160.0, 120.0, width=320, height=240)
+    rng = np.random.RandomState(5)
+    T = 40
+    # rays from random pixels
+    pts1 = rng.rand(T, 2) * np.array([280, 200]) + 20
+    from hybvio_tpu.geometry.cameras import pixel_to_ray, ray_to_pixel
+    rays, _ = pixel_to_ray(cam, jnp.asarray(pts1))
+    # small camera rotation
+    ang = 0.03
+    R_true = np.array([
+        [np.cos(ang), -np.sin(ang), 0],
+        [np.sin(ang), np.cos(ang), 0],
+        [0, 0, 1.0]])
+    rays2 = np.asarray(rays) @ R_true.T
+    pts2, ok = ray_to_pixel(cam, jnp.asarray(rays2))
+    pts2 = np.asarray(pts2)
+    # inject outliers
+    outliers = rng.rand(T) < 0.25
+    pts2[outliers] += rng.randn(outliers.sum(), 2) * 40 + 15
+    valid = np.ones(T, bool)
+
+    res = ransac2(cam, cam, jnp.asarray(pts1), jnp.asarray(pts2),
+                  jnp.asarray(valid), jax.random.PRNGKey(0), threshold_px=2.0)
+    inl = np.asarray(res.inliers)
+    assert inl[~outliers].mean() > 0.9  # keeps the true inliers
+    assert inl[outliers].mean() < 0.2  # rejects the outliers
+    # recovered rotation close to truth (note: solves p2 ~ R^T p1 convention check)
+    err = min(np.abs(np.asarray(res.R) - R_true).max(),
+              np.abs(np.asarray(res.R) - R_true.T).max())
+    assert err < 0.01
