@@ -95,7 +95,8 @@ def test_lk_recovers_translation():
     img_np, pts = textured_image(h=160, w=200, seed=3)
     dx, dy = 3.3, -2.6
     cur_np = shift_image(img_np, dx, dy)
-    params = LKParams(window_size=15, max_level=2, max_iter=20)
+    params = LKParams(window_size=15, max_level=2, max_iter=20,
+                      min_eig_threshold=1e-3 / 255**2)  # [0,1]-scaled images
     prev_pyr, prev_grads = precompute_prev(jnp.asarray(img_np), params)
     cur_pyr = build_pyramid(jnp.asarray(cur_np), params.max_level)
     p0 = jnp.asarray(pts[(pts[:, 0] > 25) & (pts[:, 0] < 175) & (pts[:, 1] > 25) & (pts[:, 1] < 135)])
@@ -111,7 +112,8 @@ def test_lk_initial_guess():
     img_np, pts = textured_image(h=160, w=200, seed=4)
     dx, dy = 9.0, 7.0  # large flow: needs the guess with a small window
     cur_np = shift_image(img_np, dx, dy)
-    params = LKParams(window_size=9, max_level=0, max_iter=20)
+    params = LKParams(window_size=9, max_level=0, max_iter=20,
+                      min_eig_threshold=1e-3 / 255**2)
     prev_pyr, prev_grads = precompute_prev(jnp.asarray(img_np), params)
     cur_pyr = build_pyramid(jnp.asarray(cur_np), params.max_level)
     sel = (pts[:, 0] > 30) & (pts[:, 0] < 160) & (pts[:, 1] > 30) & (pts[:, 1] < 130)
@@ -141,7 +143,7 @@ def test_ransac2_pure_rotation_with_outliers():
         [0, 0, 1.0]])
     rays2 = np.asarray(rays) @ R_true.T
     pts2, ok = ray_to_pixel(cam, jnp.asarray(rays2))
-    pts2 = np.asarray(pts2)
+    pts2 = np.array(pts2)  # writable copy
     # inject outliers
     outliers = rng.rand(T) < 0.25
     pts2[outliers] += rng.randn(outliers.sum(), 2) * 40 + 15
