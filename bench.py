@@ -1,0 +1,123 @@
+#!/usr/bin/env python
+"""Benchmark: single-chip VIO throughput on a synthetic EuRoC-like sequence.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
+vs_baseline is relative to the 200 FPS/chip target (BASELINE.json: >10x
+real-time stereo EuRoC per TPU chip).
+
+Runs on whatever jax.default_backend() provides (the TPU chip under the
+driver; CPU locally with JAX_PLATFORMS=cpu). Uses float32 on device.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from hybvio_tpu.config import DerivedParameters, Parameters
+    from hybvio_tpu.eval.ate import ate_rmse
+    from hybvio_tpu.geometry.cameras import build_pinhole
+    from hybvio_tpu.io.synthetic import (
+        SYNTH_IMU_TO_CAMERA, generate_sequence, project_landmarks, render_frame,
+    )
+    from hybvio_tpu.odometry.backend import ImuBatch
+    from hybvio_tpu.odometry.vio import make_vio
+
+    # EuRoC-like mono VIO configuration (BASELINE.json config 1)
+    W, H = 752, 480
+    FX = FY = 458.0
+    n_frames = int(os.environ.get("BENCH_FRAMES", "300"))
+    duration = n_frames / 20.0
+    dtype = jnp.float32
+
+    p = Parameters()
+    p.odometry.cameraTrailLength = 12
+    p.tracker.maxTracks = 96
+    p.tracker.focalLength = FX
+    p.tracker.principalPointX = W / 2
+    p.tracker.principalPointY = H / 2
+    p.tracker.pyrLKWindowSize = 15
+    p.tracker.pyrLKMaxLevel = 3
+    p.tracker.gfttMinDistance = 35.0
+    p.odometry.imuToCameraMatrix = tuple(SYNTH_IMU_TO_CAMERA.T.flatten())
+    derived = DerivedParameters.from_parameters(p)
+    cam = build_pinhole(FX, FY, W / 2, H / 2, width=W, height=H, dtype=dtype)
+
+    seq = generate_sequence(
+        duration=duration, imu_rate=200.0, frame_rate=20.0,
+        n_landmarks=500, gyro_noise=5e-4, acc_noise=5e-3, seed=0)
+
+    def render(fi):
+        k = seq.frame_sample_idx[fi]
+        pix, depth, vis = project_landmarks(
+            seq.landmarks, seq.pos[k], seq.quat[k], SYNTH_IMU_TO_CAMERA,
+            FX, FY, W / 2, H / 2, W, H)
+        return render_frame(pix, depth, vis, W, H, blob_sigma=1.4)
+
+    F = min(n_frames, len(seq.frame_sample_idx))
+    frames = [render(fi) for fi in range(F)]
+
+    init_fn, vio_step = make_vio(p, derived, (cam,), max_tracks=p.tracker.maxTracks, dtype=dtype)
+    vio_step = jax.jit(vio_step)
+
+    S_max = int(np.max(np.diff(np.concatenate([[0], seq.frame_sample_idx + 1]))))
+
+    def batch_for(fi, prev):
+        k = seq.frame_sample_idx[fi] + 1
+        n = k - prev
+        pad = S_max - n
+        t = np.pad(seq.times[prev:k], (0, pad), constant_values=seq.times[k - 1])
+        g = np.pad(seq.gyro[prev:k], ((0, pad), (0, 0)))
+        a = np.pad(seq.acc[prev:k], ((0, pad), (0, 0)))
+        valid = np.arange(S_max) < n
+        return ImuBatch(
+            jnp.asarray(t, dtype), jnp.asarray(g, dtype), jnp.asarray(a, dtype),
+            jnp.asarray(valid)), k
+
+    state = init_fn(jnp.asarray(frames[0], dtype), t0=float(seq.frame_times[0]))
+    prev = seq.frame_sample_idx[0] + 1
+
+    # warmup / compile
+    b, _ = batch_for(1, prev)
+    import copy
+    warm_state, _ = vio_step(copy.deepcopy(state), b, jnp.asarray(frames[1], dtype))
+    jax.block_until_ready(warm_state.backend.ekf.m)
+
+    # timed run
+    positions = []
+    t0 = time.perf_counter()
+    for fi in range(1, F):
+        batch, prev = batch_for(fi, prev)
+        state, out = vio_step(state, batch, jnp.asarray(frames[fi], dtype))
+        positions.append(out.position)
+    jax.block_until_ready(state.backend.ekf.m)
+    elapsed = time.perf_counter() - t0
+
+    fps = (F - 1) / elapsed
+    est = np.stack([np.asarray(x) for x in positions])
+    gt = seq.pos[seq.frame_sample_idx[1:F]] - seq.pos[0]
+    ate = ate_rmse(est, gt) if np.isfinite(est).all() else float("nan")
+
+    result = {
+        "metric": "synthetic_mono_vio_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / 200.0, 4),
+        "extra": {
+            "ate_rmse_m": None if not np.isfinite(ate) else round(ate, 4),
+            "frames": F - 1,
+            "backend": jax.default_backend(),
+            "p50_latency_ms": round(1000.0 * elapsed / (F - 1), 2),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

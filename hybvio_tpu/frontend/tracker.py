@@ -1,0 +1,248 @@
+"""Tracker core: the track-lifecycle engine (device-side).
+
+Port of the reference tracker (reference: src/tracker/tracker.cpp) as pure
+functions over a fixed-shape TrackerState: per frame — LK-track prev->cur
+(with odometry-predicted initial guesses), RANSAC outlier pass, adaptive
+detection-mask radius targeting maxTracks, distance-based culling at capacity,
+keyframe/visual-stationarity decision, and new-feature top-up when >10% of
+slots are free. Produces the TrackerInput arrays the backend consumes.
+
+Track slots are stable: a live track keeps its slot; freed slots are refilled
+by detection. Mono first; the stereo path (right-camera flow + epipolar
+check) plugs into the same slots.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry.cameras import Camera
+from .gftt import detect_corners
+from .lk import FLOW_OK, LKParams, lk_track_pyramid, precompute_prev
+from .pyramid import build_pyramid
+from .ransac import ransac2
+
+
+class TrackerState(NamedTuple):
+    track_ids: jnp.ndarray  # (T,) int32, -1 = free slot
+    px: jnp.ndarray  # (T, C, 2) current positions
+    prev_pyr: Tuple[jnp.ndarray, ...]  # previous-frame pyramid levels
+    prev_ix: Tuple[jnp.ndarray, ...]
+    prev_iy: Tuple[jnp.ndarray, ...]
+    mask_scale: jnp.ndarray  # () adaptive detection mask exponent
+    next_track_id: jnp.ndarray  # () int32
+    last_kf_px: jnp.ndarray  # (T, 2) corner at last keyframe (per live track)
+    last_kf_id: jnp.ndarray  # (T,) int32 track id the above belongs to
+    frame_num: jnp.ndarray  # () int32
+    prev_time: jnp.ndarray  # ()
+
+
+class TrackerOutput(NamedTuple):
+    track_ids: jnp.ndarray  # (T,) int32: tracked & inlier tracks (else -1)
+    pixels: jnp.ndarray  # (T, C, 2)
+    keyframe: jnp.ndarray  # () bool
+    ransac_score: jnp.ndarray  # () stationarity score (R2 inlier fraction)
+    n_tracks: jnp.ndarray  # () int32
+
+
+def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.float32):
+    """Build (init_fn(first_image[s]), track_frame) for static parameters.
+
+    Images are float (H, W) in [0, 1]. LK/GFTT thresholds from the parameter
+    surface are interpreted on the reference's scales and adapted internally.
+    """
+    pt = params.tracker
+    T = max_tracks if max_tracks is not None else pt.maxTracks
+    use_stereo = bool(pt.useStereo)
+    C = 2 if use_stereo else 1
+    cam0 = cameras[0]
+    H, W = cam0.height, cam0.width
+    assert H > 0 and W > 0, "tracker camera needs width/height"
+    min_dim = min(H, W)
+    su = min_dim / 720.0  # reference scale unit (ransac_pipeline.cpp:86-88)
+
+    lk_params = LKParams(
+        window_size=pt.pyrLKWindowSize,
+        max_level=pt.pyrLKMaxLevel,
+        max_iter=pt.pyrLKMaxIter,
+        epsilon=pt.pyrLKEpsilon,
+        # reference threshold assumes 0..255 images; ours are 0..1
+        min_eig_threshold=pt.pyrLKMinEigThreshold / 255.0**2,
+    )
+    ransac2_threshold = pt.ransac2Threshold * su
+    min_distance = max(pt.gfttMinDistance * su, 2.0)
+    move_threshold = pt.visualStationarityMovementThreshold
+    score_threshold = pt.visualStationarityScoreThreshold
+
+    def mask_radius(mask_scale):
+        r = jnp.power(1.3, mask_scale) * min_dim * pt.relativeMaskRadius
+        return jnp.maximum(jnp.round(r), 2.0)
+
+    def detect(img, existing_xy, existing_valid, mscale, n_out):
+        return detect_corners(
+            img, n_out, existing_xy, existing_valid,
+            mask_radius=mask_radius(mscale),
+            min_distance=min_distance,
+            block_size=pt.gfttBlockSize,
+            min_response=pt.gfttMinResponse,
+            crop_fraction=pt.partOfImageToDetectFeatures,
+        )
+
+    def init_fn(first_image, t0=0.0) -> TrackerState:
+        """Initialize from the first frame (reference: initialize(),
+        tracker.cpp:748-762): detect features, reset all tracks."""
+        img = jnp.asarray(first_image, dtype=dtype)
+        pyr, grads = precompute_prev(img, lk_params)
+        xy, score, valid = detect(
+            img, jnp.zeros((1, 2), dtype), jnp.zeros((1,), bool),
+            jnp.zeros((), dtype), T)
+        ids = jnp.where(valid, jnp.arange(T, dtype=jnp.int32) + 1, -1)
+        px = jnp.zeros((T, C, 2), dtype).at[:, 0, :].set(xy)
+        if use_stereo:
+            px = px.at[:, 1, :].set(xy)  # placeholder; stereo flow set later
+        return TrackerState(
+            track_ids=ids,
+            px=px,
+            prev_pyr=tuple(pyr),
+            prev_ix=tuple(g[0] for g in grads),
+            prev_iy=tuple(g[1] for g in grads),
+            mask_scale=jnp.zeros((), dtype),
+            next_track_id=jnp.asarray(T + 1, jnp.int32),
+            last_kf_px=xy,
+            last_kf_id=ids,
+            frame_num=jnp.asarray(1, jnp.int32),
+            prev_time=jnp.asarray(t0, dtype),
+        )
+
+    def track_frame(ts: TrackerState, image, rng_key, t,
+                    flow_guess=None, blacklist_flags=None, blacklist_ids=None):
+        """Process one new frame; returns (new_state, TrackerOutput)."""
+        img = jnp.asarray(image, dtype=dtype)
+        cur_pyr = build_pyramid(img, lk_params.max_level)
+
+        alive = ts.track_ids >= 0
+        # blacklist feedback from the odometry (reference: deleteTrack)
+        if blacklist_flags is not None:
+            black = blacklist_flags & (blacklist_ids == ts.track_ids) & alive
+        else:
+            black = jnp.zeros((T,), bool)
+
+        # --- optical flow prev -> cur (left camera) ---
+        prev_px = ts.px[:, 0, :]
+        guesses = prev_px if flow_guess is None else jnp.where(
+            alive[:, None], flow_guess, prev_px)
+        new_px, flow_status, _ = lk_track_pyramid(
+            list(ts.prev_pyr),
+            list(zip(ts.prev_ix, ts.prev_iy)),
+            cur_pyr, prev_px, initial_pts=guesses, params=lk_params)
+        tracked = alive & (flow_status == FLOW_OK) & ~black
+
+        # --- RANSAC outlier pass (reference: ransac_pipeline R2 always) ---
+        rng_key, r2_key = jax.random.split(rng_key)
+        r2 = ransac2(cam0, cam0, prev_px, new_px, tracked, r2_key,
+                     ransac2_threshold)
+        inlier = tracked & r2.inliers
+        # reference: if RANSAC skipped (too few tracks) -> all outliers;
+        # keep tracked if < 2 points since R2 result is then meaningless
+        few = jnp.sum(tracked) < 2
+        inlier = jnp.where(few, tracked, inlier)
+
+        # --- keyframe / visual stationarity (reference: tracker.cpp:577-601) ---
+        kf_known = (ts.last_kf_id == ts.track_ids) & alive
+        move = jnp.linalg.norm(new_px - ts.last_kf_px, axis=-1)
+        move = jnp.where(tracked & kf_known, move, -1.0)
+        max_move = jnp.max(move)
+        has_move = max_move >= 0.0
+        stationary = (
+            has_move & (max_move < move_threshold) & (r2.score > score_threshold))
+        keyframe = (ts.frame_num < pt.maxTrackLength) | ~stationary
+
+        # --- track updates (reference: updateTracks) ---
+        # capacity culling: when full, drop ~T/20 of the closest pairs
+        n_alive = jnp.sum(inlier)
+        d2 = jnp.sum((new_px[:, None, :] - new_px[None, :, :]) ** 2, axis=-1)
+        pairmask = inlier[:, None] & inlier[None, :]
+        iu = jnp.triu_indices(T, k=1)
+        pd = jnp.where(pairmask[iu], d2[iu], jnp.inf)
+        n_cull = max(T // 20, 1)
+        # for the n_cull smallest pair distances, cull the larger slot index
+        small = jnp.argsort(pd)[:n_cull]
+        cull_slots = jnp.maximum(iu[0][small], iu[1][small])
+        cull_valid = jnp.isfinite(pd[small]) & (n_alive >= T)
+        cull = jnp.zeros((T,), bool).at[cull_slots].set(cull_valid, mode="drop")
+
+        keep = inlier & ~cull
+        ids = jnp.where(keep, ts.track_ids, -1)
+        px = ts.px.at[:, 0, :].set(jnp.where(keep[:, None], new_px, 0.0))
+
+        # --- new feature detection (reference: detectNewFeatures) ---
+        missing = T - jnp.sum(keep)
+        do_detect = missing >= T // 10
+        det_xy, det_score, det_valid = detect(
+            img, px[:, 0, :], keep, ts.mask_scale, T)
+        det_valid = det_valid & do_detect
+        # fill free slots with detections, in order
+        free = ~keep
+        free_order = jnp.argsort(~free, stable=True)  # free slots first
+        n_free = jnp.sum(free)
+        take = jnp.minimum(n_free, jnp.sum(det_valid))
+        det_order = jnp.argsort(~det_valid, stable=True)
+        slot_for_det = free_order  # (T,)
+        det_idx = det_order
+        fill = jnp.arange(T) < take
+        new_ids = ids.at[slot_for_det].set(
+            jnp.where(fill, ts.next_track_id + jnp.arange(T, dtype=jnp.int32), ids[slot_for_det]), mode="drop")
+        new_xy0 = px[:, 0, :].at[slot_for_det].set(
+            jnp.where(fill[:, None], det_xy[det_idx], px[slot_for_det, 0, :]), mode="drop")
+        px = px.at[:, 0, :].set(new_xy0)
+        ids = new_ids
+        next_id = ts.next_track_id + take.astype(jnp.int32)
+
+        # adaptive mask scale (reference: tracker.cpp:592-601 + changeMaskSize)
+        n_after = jnp.sum(ids >= 0)
+        mscale = ts.mask_scale
+        mscale = jnp.where(n_after < (3 * T) // 4, mscale - 1.0, mscale)
+        mscale = jnp.where(n_after == T, mscale + 0.5, mscale)
+        mscale = jnp.clip(mscale, -5.0, 5.0)
+
+        # last-keyframe corners for stationarity (only tracked, on keyframes)
+        upd = keyframe & keep
+        last_kf_px = jnp.where(upd[:, None], px[:, 0, :], ts.last_kf_px)
+        last_kf_id = jnp.where(upd, ids, ts.last_kf_id)
+        # forget entries whose track died
+        still = last_kf_id == ids
+        last_kf_id = jnp.where(still, last_kf_id, -1)
+
+        from .pyramid import scharr_gradients
+
+        grads = [scharr_gradients(p) for p in cur_pyr]
+        new_state = TrackerState(
+            track_ids=ids,
+            px=px,
+            prev_pyr=tuple(cur_pyr),
+            prev_ix=tuple(g[0] for g in grads),
+            prev_iy=tuple(g[1] for g in grads),
+            mask_scale=mscale,
+            next_track_id=next_id,
+            last_kf_px=last_kf_px,
+            last_kf_id=last_kf_id,
+            frame_num=ts.frame_num + 1,
+            prev_time=jnp.asarray(t, dtype),
+        )
+        # output: only tracks that were TRACKED THIS FRAME (not fresh detections,
+        # which have no history yet -- they enter the trail next frame like the
+        # reference where output.tracks excludes new detections)
+        out_ids = jnp.where(keep, ts.track_ids, -1)
+        out = TrackerOutput(
+            track_ids=out_ids,
+            pixels=jnp.where(keep[:, None, None], px, 0.0),
+            keyframe=keyframe,
+            ransac_score=r2.score,
+            n_tracks=jnp.sum(keep).astype(jnp.int32),
+        )
+        return new_state, out
+
+    return init_fn, track_frame

@@ -399,8 +399,7 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
         return state, (pc_points, pc_status, pc_ids), need_more_final, too_many_failures
 
     # ------------------------------------------------------------- the step
-    def frame_step(state: BackendState, imu: ImuBatch, tracker_in: TrackerInput):
-        state = imu_scan(state, imu)
+    def process_frame(state: BackendState, tracker_in: TrackerInput):
         ekf = state.ekf
         t_frame = ekf.prev_sample_t
 
@@ -517,6 +516,12 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
         )
         return state, out
 
+    def frame_step(state: BackendState, imu: ImuBatch, tracker_in: TrackerInput):
+        return process_frame(imu_scan(state, imu), tracker_in)
+
+    # expose the pieces for fused front-end integration (odometry/vio.py)
+    frame_step.imu_scan = imu_scan
+    frame_step.process_frame = process_frame
     return init_fn, frame_step
 
 

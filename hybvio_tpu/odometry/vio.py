@@ -1,0 +1,126 @@
+"""Full VIO: image front-end + odometry backend fused into one jitted step.
+
+Mirrors the reference Session::process flow (reference: backend.cpp:716-867)
+including the odometry-predicted optical flow initial guesses (reference:
+applyTracker's opticalFlowPredictor lambda, backend.cpp:541-663): per track,
+estimate the feature distance by widest-baseline two-view triangulation over
+the pose trail (clamped to predictOpticalFlowMinTriangulationDistance),
+unproject the previous corner at that distance, and reproject with the current
+EKF pose.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ekf import CAM, ORI, POS, POSE_DIM
+from ..frontend.tracker import TrackerState, make_tracker
+from ..geometry.cameras import pixel_to_ray, ray_to_pixel
+from ..geometry.poses import to_camera_to_world, to_world_to_camera, transform_vec3
+from . import trail as tr
+from .backend import BackendState, FrameOutput, ImuBatch, TrackerInput, make_backend
+from .triangulation import triangulate_two_cameras, camera_poses_from_states
+
+
+class VioState(NamedTuple):
+    backend: BackendState
+    tracker: TrackerState
+    tracker_ready: jnp.ndarray  # () bool
+
+
+def make_vio(params, derived, cameras, max_tracks=None, dtype=jnp.float64,
+             image_dtype=jnp.float32):
+    """Build (init_fn(first_image), vio_step(state, imu_batch, image))."""
+    po = params.odometry
+    pt = params.tracker
+    T = max_tracks if max_tracks is not None else pt.maxTracks
+    L = po.cameraTrailLength
+    K = L + 1
+    cam0 = cameras[0]
+    i2c = jnp.asarray(derived.imu_to_camera, dtype=dtype)
+
+    backend_init, frame_step = make_backend(
+        params, derived, cameras, max_tracks=T, dtype=dtype)
+    tracker_init, track_frame = make_tracker(
+        params, cameras, max_tracks=T, dtype=image_dtype)
+
+    def init_fn(first_image, t0=0.0, rng_key=None) -> VioState:
+        return VioState(
+            backend=backend_init(rng_key),
+            tracker=tracker_init(first_image, t0),
+            tracker_ready=jnp.ones((), bool),
+        )
+
+    def predict_flow(bstate: BackendState, tstate: TrackerState):
+        """Per-slot predicted current pixels (reference: backend.cpp:541-663)."""
+        m = bstate.ekf.m
+        cur = jnp.concatenate([m[POS:POS + 3], m[ORI:ORI + 4]])
+        trail_block = m[CAM:CAM + POSE_DIM * L].reshape(L, POSE_DIM)
+        pose_states = jnp.concatenate([cur[None, :], trail_block], axis=0)  # (K,7)
+        cposes = camera_poses_from_states(pose_states, i2c)
+
+        track_ids = tstate.track_ids
+        exists = tr.feature_exists(bstate.trail, track_ids)  # (K, T)
+        ks = jnp.arange(K)
+        k0 = jnp.min(jnp.where(exists, ks[:, None], K), axis=0)  # (T,)
+        k1 = jnp.max(jnp.where(exists, ks[:, None], -1), axis=0)
+        has_baseline = (k1 - k0) >= 10  # MIN_TWO_CAMERA_FLOW_TRIANGULATION_BASELINE
+
+        slot_idx = jnp.arange(T)
+        ip_k0 = bstate.trail.kf_norm[jnp.clip(k0, 0, K - 1), slot_idx, 0, :]
+        ip_k1 = bstate.trail.kf_norm[jnp.clip(k1, 0, K - 1), slot_idx, 0, :]
+
+        def tri(k0_, k1_, ip0_, ip1_):
+            return triangulate_two_cameras(
+                cposes.p[k0_], cposes.R[k0_], cposes.p[k1_], cposes.R[k1_], ip0_, ip1_)
+
+        pf = jax.vmap(tri)(jnp.clip(k0, 0, K - 1), jnp.clip(k1, 0, K - 1), ip_k0, ip_k1)
+        dist = jnp.where(
+            has_baseline & (pf[:, 2] > 0.0), jnp.linalg.norm(pf, axis=-1), -1.0)
+        dist = jnp.maximum(dist, pt.predictOpticalFlowMinTriangulationDistance)
+
+        # unproject previous corner at pose trail slot 0 (previous frame pose),
+        # reproject at the current pose
+        prev_px = tstate.px[:, 0, :].astype(dtype)
+        ray0, ok0 = pixel_to_ray(cam0, prev_px)
+        p_hist = pose_states[1, :3]
+        q_hist = pose_states[1, 3:]
+        cam_to_world = to_camera_to_world(p_hist, q_hist, i2c)
+        world_to_cam = to_world_to_camera(m[POS:POS + 3], m[ORI:ORI + 4], i2c)
+        pw = transform_vec3(cam_to_world, ray0 * dist[:, None])
+        rc = transform_vec3(world_to_cam, pw)
+        pix1, ok1 = ray_to_pixel(cam0, rc)
+        guess = jnp.where((ok0 & ok1)[:, None], pix1, prev_px)
+        return guess.astype(jnp.float32)
+
+    def vio_step(state: VioState, imu: ImuBatch, image):
+        # IMU propagation first so the flow prediction uses the pose at the
+        # frame time (reference: tracker runs after ekf->predict,
+        # backend.cpp:735-765)
+        bstate = frame_step.imu_scan(state.backend, imu)
+        if pt.predictOpticalFlow:
+            guess = predict_flow(bstate, state.tracker)
+        else:
+            guess = None
+
+        rng, tkey = jax.random.split(bstate.rng)
+        bstate = bstate._replace(rng=rng)
+        tstate, tout = track_frame(
+            state.tracker, image, tkey, imu.t[-1],
+            flow_guess=guess,
+            blacklist_flags=bstate.blacklist_flags,
+            blacklist_ids=bstate.blacklist_ids,
+        )
+        tin = TrackerInput(
+            track_ids=tout.track_ids,
+            pixels=tout.pixels.astype(dtype),
+            keyframe=tout.keyframe,
+            stereo_depth=jnp.full((T,), -1.0, dtype),
+        )
+        bstate, out = frame_step.process_frame(bstate, tin)
+        return VioState(backend=bstate, tracker=tstate, tracker_ready=state.tracker_ready), out
+
+    return init_fn, vio_step
