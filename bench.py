@@ -24,7 +24,7 @@ def main():
     from hybvio_tpu.eval.ate import ate_rmse
     from hybvio_tpu.geometry.cameras import build_pinhole
     from hybvio_tpu.io.synthetic import (
-        SYNTH_IMU_TO_CAMERA, generate_sequence, project_landmarks, render_frame,
+        SYNTH_IMU_TO_CAMERA, generate_sequence, render_view,
     )
     from hybvio_tpu.odometry.backend import ImuBatch
     from hybvio_tpu.odometry.vio import make_vio
@@ -46,6 +46,8 @@ def main():
     p.tracker.pyrLKMaxLevel = 3
     p.tracker.gfttMinDistance = 35.0
     p.odometry.imuToCameraMatrix = tuple(SYNTH_IMU_TO_CAMERA.T.flatten())
+    p.odometry.visualR = 0.3  # matched to the front-end's LK noise on renders
+    p.odometry.batchVisualUpdate = True  # parallel visual updates (TPU fast path)
     derived = DerivedParameters.from_parameters(p)
     cam = build_pinhole(FX, FY, W / 2, H / 2, width=W, height=H, dtype=dtype)
 
@@ -55,10 +57,9 @@ def main():
 
     def render(fi):
         k = seq.frame_sample_idx[fi]
-        pix, depth, vis = project_landmarks(
-            seq.landmarks, seq.pos[k], seq.quat[k], SYNTH_IMU_TO_CAMERA,
-            FX, FY, W / 2, H / 2, W, H)
-        return render_frame(pix, depth, vis, W, H, blob_sigma=1.4)
+        return render_view(seq.landmarks, seq.pos[k], seq.quat[k],
+                           SYNTH_IMU_TO_CAMERA, FX, FY, W / 2, H / 2, W, H,
+                           blob_sigma=1.4)
 
     F = min(n_frames, len(seq.frame_sample_idx))
     frames = [render(fi) for fi in range(F)]

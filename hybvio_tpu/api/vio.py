@@ -1,0 +1,260 @@
+"""Public VIO API: thread-safe sample ingestion -> outputs via callback.
+
+Port of the reference public API + control layer (reference: src/api/vio.hpp
+VioApi, src/odometry/control.cpp Control): add_gyro / add_acc /
+add_frame_mono / add_frame_stereo feed a SampleSync; synced samples drain into
+the device-side VIO step; tracking-status-driven auto-reset (retry-until-init,
+reset-keeping-pose on LOST_TRACKING, timed re-init) wraps the session like the
+reference Control; outputs are delivered through on_output.
+
+Host/device split: SampleSync and the reset state machine stay on the host
+(IO-shape logic); everything per-frame runs as the single jitted vio_step.
+IMU samples between frames batch into fixed-size arrays (the ~400 Hz IMU-only
+path costs one padded scan per frame instead of per-sample dispatches).
+"""
+from __future__ import annotations
+
+import dataclasses
+import threading
+from typing import Callable, List, Optional
+
+import numpy as np
+
+from ..config import DerivedParameters, Parameters
+from ..config.loader import load_parameters
+from ..geometry.cameras import build_camera_from_params
+from ..odometry.sample_sync import SampleSync, SyncedSample
+from ..io.jsonl import Recorder, output_to_json
+
+TRACKING_STATUS_NAMES = {0: "INIT", 1: "TRACKING", 2: "LOST_TRACKING"}
+
+
+@dataclasses.dataclass
+class VioOutput:
+    status: int
+    t: float
+    position: np.ndarray
+    orientation: np.ndarray
+    velocity: np.ndarray
+    position_covariance: np.ndarray
+    point_cloud: np.ndarray  # (N, 4): id, x, y, z
+    pose_trail: Optional[np.ndarray] = None  # (L, 8): t, p(3), q(4)
+    bias_gyro: Optional[np.ndarray] = None
+    bias_acc: Optional[np.ndarray] = None
+    stationary_visual: bool = False
+
+    def as_json(self, with_trail: bool = False, extras: Optional[dict] = None) -> str:
+        trail = None
+        if with_trail and self.pose_trail is not None:
+            trail = self.pose_trail[:, 1:]
+        return output_to_json(self.t, self.position, self.orientation,
+                              self.velocity, trail, extras)
+
+
+class VioApi:
+    """Build with build_vio(); feed samples; read outputs via on_output."""
+
+    def __init__(self, params: Parameters, width: int, height: int,
+                 dtype=None, max_imu_per_frame: int = 64, jit: bool = True):
+        import jax
+        import jax.numpy as jnp
+
+        from ..odometry.vio import make_vio
+
+        self.params = params
+        self.derived = DerivedParameters.from_parameters(params)
+        self.width, self.height = width, height
+        self._dtype = dtype or jnp.float64
+        cams = [build_camera_from_params(params.tracker, width, height, dtype=self._dtype)]
+        if params.tracker.useStereo:
+            cams.append(build_camera_from_params(params.tracker, width, height, second=True, dtype=self._dtype))
+        self.cameras = tuple(cams)
+
+        self._init_fn, vio_step = make_vio(
+            params, self.derived, self.cameras, dtype=self._dtype)
+        self._vio_step = jax.jit(vio_step) if jit else vio_step
+        self._jnp = jnp
+
+        self.sample_sync = SampleSync(params.odometry)
+        self.on_output: Optional[Callable[[VioOutput], None]] = None
+        self.recorder: Optional[Recorder] = None
+        self._lock = threading.Lock()
+
+        self._state = None
+        self._pending_imu: List = []
+        self.S = max_imu_per_frame
+        self._first_image = None
+        self._status = 0
+        self._last_reset_time = 0.0
+        self._threshold_warned = 0.01
+
+    # --- input (reference: VioApi::addGyro/addAcc/addFrame*) ---
+
+    def add_gyro(self, t: float, xyz) -> None:
+        with self._lock:
+            if self.recorder:
+                self.recorder.gyro(t, xyz)
+            self.sample_sync.add_sample_leader(t, xyz)
+        self.process_pending()
+
+    def add_acc(self, t: float, xyz) -> None:
+        with self._lock:
+            if self.recorder:
+                self.recorder.acc(t, xyz)
+            self.sample_sync.add_sample_follower(t, xyz)
+
+    def add_frame_mono(self, t: float, image) -> None:
+        with self._lock:
+            if self.recorder:
+                self.recorder.frame(t, [image])
+            self.sample_sync.add_frame(t, first_image=np.asarray(image))
+
+    def add_frame_stereo(self, t: float, first, second) -> None:
+        with self._lock:
+            if self.recorder:
+                self.recorder.frame(t, [first, second])
+            self.sample_sync.add_frame(t, first_image=np.asarray(first),
+                                       second_image=np.asarray(second))
+
+    # --- processing (reference: Control::processSyncedSamples) ---
+
+    def process_pending(self) -> int:
+        """Drain synced samples; returns number of frames processed."""
+        frames = 0
+        while True:
+            s = self.sample_sync.poll_synced_sample()
+            if s is None:
+                break
+            self._pending_imu.append(s)
+            if s.frame is not None:
+                self._process_frame(s)
+                frames += 1
+        return frames
+
+    def _ensure_state(self, image, t):
+        if self._state is None:
+            jnp = self._jnp
+            self._state = self._init_fn(
+                jnp.asarray(image, jnp.float32), t0=float(t))
+
+    def _process_frame(self, synced: SyncedSample) -> None:
+        import jax.numpy as jnp
+
+        from ..odometry.backend import ImuBatch
+
+        samples = self._pending_imu
+        self._pending_imu = []
+        frame = synced.frame
+        image = frame.first_image
+
+        if self._state is None:
+            self._ensure_state(image, synced.t)
+            return
+
+        n = min(len(samples), self.S)
+        samples = samples[-self.S:]
+        t = np.full(self.S, samples[-1].t)
+        g = np.zeros((self.S, 3))
+        a = np.zeros((self.S, 3))
+        valid = np.zeros(self.S, bool)
+        for i, s in enumerate(samples):
+            t[i] = s.t
+            g[i] = s.l
+            a[i] = s.f
+            valid[i] = True
+        dtype = self._dtype
+        batch = ImuBatch(jnp.asarray(t, dtype), jnp.asarray(g, dtype),
+                         jnp.asarray(a, dtype), jnp.asarray(valid))
+        self._state, out = self._vio_step(
+            self._state, batch, jnp.asarray(image, jnp.float32))
+
+        # time-shift feedback into sample sync (reference: control.cpp:97-106)
+        if self.params.odometry.estimateImuCameraTimeShift:
+            shift = float(self._state.backend.ekf.m[19])
+            self.sample_sync.set_imu_to_camera_time_shift(shift)
+
+        self._handle_status_and_reset(out)
+        if self.on_output:
+            self.on_output(self._convert_output(out))
+
+    def _handle_status_and_reset(self, out) -> None:
+        """Auto-reset logic (reference: control.cpp:117-150)."""
+        po = self.params.odometry
+        session_status = int(out.tracking_status)
+        if self._status == 0 or session_status != 0:
+            new_status = session_status if (self._status == 0 or session_status != 0) else self._status
+        else:
+            new_status = self._status
+        # prevent going back to INIT
+        if self._status != 0 and session_status == 0:
+            new_status = self._status
+        self._status = new_status
+
+        t = float(out.t)
+        timer_expired = self._last_reset_time + po.resetAfterTrackingFailsToInitialize < t
+        if self._status == 0 and timer_expired and po.resetUntilInitSucceeds:
+            self.reset(keep_pose=False, t=t)
+        elif po.resetOnFailedTracking and session_status == 2:
+            self.reset(keep_pose=True, t=t)
+        elif self._status != 0 and session_status == 0 and timer_expired:
+            self.reset(keep_pose=True, t=t)
+
+    def reset(self, keep_pose: bool = False, t: Optional[float] = None) -> None:
+        """(reference: Control::reset)"""
+        import jax.numpy as jnp
+
+        from ..ekf import ORI, POS, transform_to, initialize_orientation
+
+        self._last_reset_time = t if t is not None else 0.0
+        old = self._state
+        if old is None:
+            return
+        pos = np.asarray(old.backend.ekf.m[POS:POS + 3])
+        q = np.asarray(old.backend.ekf.m[ORI:ORI + 4])
+        # rebuild: fresh backend state, keep the tracker image context
+        fresh_backend = None
+        new = self._init_fn(
+            jnp.zeros((self.height, self.width), jnp.float32), t0=self._last_reset_time)
+        state = old._replace(backend=new.backend)
+        if keep_pose:
+            po = self.params.odometry
+            ekf = state.backend.ekf
+            ekf = initialize_orientation(ekf, jnp.asarray([0.0, 0.0, 9.819], self._dtype),
+                                         po.noiseInitialOri, po.noiseScale**2)
+            ekf = transform_to(ekf, jnp.asarray(pos, self._dtype),
+                               jnp.asarray(q, self._dtype), po.cameraTrailLength)
+            state = state._replace(
+                backend=state.backend._replace(
+                    ekf=ekf, orientation_initialized=jnp.ones((), bool)))
+        self._state = state
+
+    def _convert_output(self, out) -> VioOutput:
+        pc_ids = np.asarray(out.point_cloud_ids)
+        pc = np.asarray(out.point_cloud)
+        sel = pc_ids >= 0
+        cloud = np.concatenate(
+            [pc_ids[sel, None].astype(np.float64), pc[sel]], axis=1) if sel.any() else np.zeros((0, 4))
+        trail = np.concatenate([
+            np.asarray(out.pose_trail_times)[:, None], np.asarray(out.pose_trail)], axis=1)
+        return VioOutput(
+            status=int(out.tracking_status),
+            t=float(out.t),
+            position=np.asarray(out.position),
+            orientation=np.asarray(out.orientation),
+            velocity=np.asarray(out.velocity),
+            position_covariance=np.asarray(out.position_cov),
+            point_cloud=cloud,
+            pose_trail=trail,
+            bias_gyro=np.asarray(out.bias_gyro),
+            bias_acc=np.asarray(out.bias_acc),
+            stationary_visual=bool(out.stationary_visual),
+        )
+
+
+def build_vio(calibration_json: Optional[str] = None,
+              config_yaml: Optional[str] = None,
+              width: int = 640, height: int = 480, **kwargs) -> VioApi:
+    """Factory matching the reference buildVio(calibrationJson, configYaml)
+    (reference: src/api/vio.hpp:122, api.cpp:1027-1039)."""
+    params = load_parameters(yaml_text=config_yaml, calibration_json=calibration_json)
+    return VioApi(params, width, height, **kwargs)

@@ -1,0 +1,150 @@
+"""Offline CLI runner (the reference `main` binary equivalent).
+
+Usage:
+    python -m hybvio_tpu.cli.main -i=<dataset_dir> [-o=<output.jsonl>]
+        [-p=<parameters.txt>] [-c=<calibration.json>] [any -paramName=value]
+
+Dataset directory layout (reference: src/commandline/main.cpp:259-397):
+    data.jsonl                 sensor + frame metadata (+ embedded calibration)
+    parameters.txt / vio_config.yaml   optional parameters
+    calibration.json           optional calibration
+    data.{mp4,avi,...} or frame_*.npy or an image directory for frames
+
+Configuration precedence mirrors the reference (main.cpp:298-327):
+    data.jsonl-embedded -> parameters.txt/vio_config.yaml -> calibration.json
+    -> command line (last, highest).
+"""
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from typing import Optional
+
+import numpy as np
+
+
+def find_frame_source_path(dataset_dir: str) -> Optional[str]:
+    for ext in (".mp4", ".mov", ".avi"):
+        p = os.path.join(dataset_dir, "data" + ext)
+        if os.path.exists(p):
+            return p
+    if os.path.exists(os.path.join(dataset_dir, "frame_000000_cam0.npy")):
+        return dataset_dir
+    for sub in ("frames", "cam0/data", "mav0/cam0/data"):
+        p = os.path.join(dataset_dir, sub)
+        if os.path.isdir(p):
+            return p
+    return None
+
+
+def run(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+
+    from ..config import Parameters
+    from ..config.loader import apply_argv, apply_calibration_json, apply_parameters_text, apply_yaml
+    from ..io import jsonl as jio
+    from ..io.video import open_frame_source
+
+    # pull out main-level flags first
+    main_flags = {}
+    rest = []
+    for a in argv:
+        body = a.lstrip("-")
+        k, _, v = body.partition("=")
+        if k in ("i", "o", "p", "c", "maxFrames", "timer", "recordDir", "outputType"):
+            main_flags[k] = v if v else "true"
+        else:
+            rest.append(a)
+    if "i" not in main_flags:
+        print(__doc__)
+        return 2
+
+    dataset = main_flags["i"]
+    data_jsonl = os.path.join(dataset, "data.jsonl")
+    params = Parameters()
+
+    # precedence: data.jsonl-embedded -> parameters/yaml -> calibration -> argv
+    if os.path.exists(data_jsonl):
+        jio.set_parameters_from_data(params, data_jsonl)
+    ppath = main_flags.get("p")
+    if not ppath:
+        for cand in ("vio_config.yaml", "parameters.txt"):
+            c = os.path.join(dataset, cand)
+            if os.path.exists(c):
+                ppath = c
+                break
+    if ppath and os.path.exists(ppath):
+        text = open(ppath).read()
+        if ppath.endswith((".yaml", ".yml")):
+            apply_yaml(params, text)
+        else:
+            apply_parameters_text(params, text)
+    cpath = main_flags.get("c") or os.path.join(dataset, "calibration.json")
+    if os.path.exists(cpath):
+        apply_calibration_json(params, open(cpath).read())
+    unparsed = apply_argv(params, rest)
+    if unparsed:
+        print(f"warning: unrecognized arguments: {unparsed}", file=sys.stderr)
+
+    src_path = find_frame_source_path(dataset)
+    if src_path is None:
+        print(f"error: no frame source found in {dataset}", file=sys.stderr)
+        return 1
+    frames = open_frame_source(src_path)
+    H, W = frames.shape
+
+    from ..api.vio import VioApi
+
+    max_frames = int(main_flags.get("maxFrames", "0") or 0)
+    out_file = open(main_flags["o"], "w") if main_flags.get("o") else None
+    with_trail = main_flags.get("outputType") == "tail" or params.odometry.outputJsonPoseTrail
+
+    api = VioApi(params, W, H)
+    n_out = [0]
+    t_start = time.time()
+
+    def on_output(out):
+        n_out[0] += 1
+        if out_file:
+            extras = None
+            if params.odometry.outputJsonExtras:
+                extras = {
+                    "status": out.status,
+                    "biasMeanGyroscopeAdditive": list(map(float, out.bias_gyro)),
+                    "biasMeanAccelerometerAdditive": list(map(float, out.bias_acc)),
+                    "stationaryVisual": out.stationary_visual,
+                }
+            out_file.write(out.as_json(with_trail, extras) + "\n")
+
+    api.on_output = on_output
+
+    n_frames = 0
+    for ev in jio.read_jsonl_events(data_jsonl):
+        if ev.kind == jio.GYROSCOPE:
+            api.add_gyro(ev.t, ev.values)
+        elif ev.kind == jio.ACCELEROMETER:
+            api.add_acc(ev.t, ev.values)
+        elif ev.kind == jio.FRAME:
+            num = ev.frames_index if ev.frames_index >= 0 else n_frames
+            img = frames.frame(num, 0)
+            if len(ev.frames) > 1 and params.tracker.useStereo:
+                img2 = frames.frame(num, 1)
+                api.add_frame_stereo(ev.t, img, img2)
+            else:
+                api.add_frame_mono(ev.t, img)
+            n_frames += 1
+            if max_frames and n_frames >= max_frames:
+                break
+
+    elapsed = time.time() - t_start
+    if out_file:
+        out_file.close()
+    print(f"processed {n_frames} frames, {n_out[0]} outputs in {elapsed:.1f}s "
+          f"({n_frames / max(elapsed, 1e-9):.1f} fps)", file=sys.stderr)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(run())

@@ -7,7 +7,7 @@ from .predict import make_predict, predict_mean_and_jacobians, process_noise_dia
 from .update import (  # noqa: F401
     kf_update, normalize_quaternions, update_zupt, update_zupt_initialization,
     update_zrupt, update_pseudo_velocity, update_position, update_zero_height,
-    update_orientation, visual_track_update, VisualUpdateResult,
+    update_orientation, visual_track_update, visual_track_gate, VisualUpdateResult,
 )
 from .augment import augment_pose, undo_augmentation  # noqa: F401
 from .transforms import (  # noqa: F401

@@ -213,3 +213,28 @@ def visual_track_update(
     m_out = jnp.where(do, m_new, m)
     P_out = jnp.where(do, P_new, P)
     return VisualUpdateResult(m_out, P_out, is_inlier, rmse_ok, chi2_ok, chi2_value)
+
+
+def visual_track_gate(m, P, H, f, y, mask, noise_scale, chi_outlier_r, rmse_threshold):
+    """Chi2 + RMSE outlier gates only (no update); used by the batched visual
+    update where all tracks are gated against the same pre-update state
+    (reference: batchVisualUpdate mode, backend.cpp:1005-1010,1170-1187).
+    Returns (is_inlier, chi2_value). Batches over leading dims via vmap.
+    """
+    dtype = m.dtype
+    n = H.shape[0]
+    maskf = mask.astype(dtype)
+    H = H * maskf[:, None]
+    v = (y - f) * maskf
+    n_valid = jnp.sum(mask)
+
+    rmse2 = jnp.sum(v * v) / jnp.maximum(n_valid, 1)
+    rmse_ok = jnp.where(rmse_threshold >= 0, rmse2 <= rmse_threshold * rmse_threshold, True)
+
+    r_gate = (chi_outlier_r * chi_outlier_r) * noise_scale
+    S = H @ P @ H.T + jnp.abs(r_gate) * jnp.eye(n, dtype=dtype)
+    Sv = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(S), v)
+    chi2_value = noise_scale * jnp.dot(Sv, v)
+    idx = jnp.minimum(n_valid, len(CHI2INV95) - 1)
+    chi2_ok = jnp.where(chi_outlier_r >= 0, chi2_value <= jnp.asarray(CHI2INV95, dtype=dtype)[idx], True)
+    return rmse_ok & chi2_ok & (n_valid > 0), chi2_value

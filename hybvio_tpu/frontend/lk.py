@@ -88,7 +88,16 @@ def lk_track_level(
             (q[0] >= r) & (q[0] < W - r) & (q[1] >= r) & (q[1] < H - r)
             & (p0[0] >= r) & (p0[0] < W - r) & (p0[1] >= r) & (p0[1] < H - r)
         )
-        return q, ok_g & in_bounds, min_eig
+        # appearance residual at the converged position: protects against the
+        # LK failure mode where a feature drifts onto low-texture background
+        # and freezes at the initial guess (cv::calcOpticalFlowPyrLK has no
+        # such check; the reference relies on downstream RANSAC, but a frozen
+        # *set* of points forms a false consensus there)
+        w_final = bilinear_sample(cur_img, q[None, :] + offs)
+        resid = jnp.mean(jnp.abs(w_final - t))
+        contrast = jnp.maximum(jnp.max(t) - jnp.min(t), 1e-6)
+        ok_resid = resid <= jnp.maximum(0.25 * contrast, 0.02)
+        return q, ok_g & in_bounds & ok_resid, min_eig
 
     return jax.vmap(one)(prev_pts, guesses)
 

