@@ -131,11 +131,12 @@ class VioApi:
                 frames += 1
         return frames
 
-    def _ensure_state(self, image, t):
+    def _ensure_state(self, image, t, second_image=None):
         if self._state is None:
             jnp = self._jnp
+            second = jnp.asarray(second_image, jnp.float32) if second_image is not None else None
             self._state = self._init_fn(
-                jnp.asarray(image, jnp.float32), t0=float(t))
+                jnp.asarray(image, jnp.float32), t0=float(t), second_image=second)
 
     def _process_frame(self, synced: SyncedSample) -> None:
         import jax.numpy as jnp
@@ -146,9 +147,10 @@ class VioApi:
         self._pending_imu = []
         frame = synced.frame
         image = frame.first_image
+        second = frame.second_image
 
         if self._state is None:
-            self._ensure_state(image, synced.t)
+            self._ensure_state(image, synced.t, second)
             return
 
         n = min(len(samples), self.S)
@@ -165,8 +167,13 @@ class VioApi:
         dtype = self._dtype
         batch = ImuBatch(jnp.asarray(t, dtype), jnp.asarray(g, dtype),
                          jnp.asarray(a, dtype), jnp.asarray(valid))
-        self._state, out = self._vio_step(
-            self._state, batch, jnp.asarray(image, jnp.float32))
+        if self.params.tracker.useStereo:
+            self._state, out = self._vio_step(
+                self._state, batch, jnp.asarray(image, jnp.float32),
+                jnp.asarray(second, jnp.float32))
+        else:
+            self._state, out = self._vio_step(
+                self._state, batch, jnp.asarray(image, jnp.float32))
 
         # time-shift feedback into sample sync (reference: control.cpp:97-106)
         if self.params.odometry.estimateImuCameraTimeShift:

@@ -48,7 +48,8 @@ class TrackerOutput(NamedTuple):
     n_tracks: jnp.ndarray  # () int32
 
 
-def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.float32):
+def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.float32,
+                 derived=None):
     """Build (init_fn(first_image[s]), track_frame) for static parameters.
 
     Images are float (H, W) in [0, 1]. LK/GFTT thresholds from the parameter
@@ -78,6 +79,12 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
     _f0 = float(_np.asarray(cam0.fx) + _np.asarray(cam0.fy)) * 0.5
     _f1 = float(_np.asarray(cameras[-1].fx) + _np.asarray(cameras[-1].fy)) * 0.5
     ransac5_threshold = 2.0 * pt.ransac5Threshold / (_f0 + _f1)
+    if use_stereo:
+        assert derived is not None, "stereo tracker needs DerivedParameters"
+        cam1 = cameras[1]
+        _c0c1 = np.asarray(derived.second_imu_to_camera) @ np.linalg.inv(np.asarray(derived.imu_to_camera))
+        cam0_to_cam1 = jnp.asarray(_c0c1, dtype)
+        epipolar_dist = pt.maxStereoEpipolarDistance * su
     min_distance = max(pt.gfttMinDistance * su, 2.0)
     move_threshold = pt.visualStationarityMovementThreshold
     score_threshold = pt.visualStationarityScoreThreshold
@@ -102,7 +109,21 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
                                  iters=min(pt.subPixMaxIter, 5))
         return xy, score, valid
 
-    def init_fn(first_image, t0=0.0) -> TrackerState:
+    def stereo_match(left_pyr, left_grads, right_pyr, pts_left, valid, guesses=None):
+        """Left->right LK + epipolar-curve validation (reference:
+        tracker.cpp:409-463 STEREO flow + markCornersFailedByEpipolarConstraint)."""
+        g = pts_left if guesses is None else guesses
+        pts_right, status, _ = lk_track_pyramid(
+            left_pyr, left_grads, right_pyr, pts_left, initial_pts=g,
+            params=lk_params)
+        ok = valid & (status == FLOW_OK)
+        if pt.maxStereoEpipolarDistance > 0:
+            from .stereo import epipolar_check
+            ok = ok & epipolar_check(cam0, cam1, pts_left, pts_right, ok,
+                                     cam0_to_cam1, epipolar_dist)
+        return pts_right, ok
+
+    def init_fn(first_image, t0=0.0, second_image=None) -> TrackerState:
         """Initialize from the first frame (reference: initialize(),
         tracker.cpp:748-762): detect features, reset all tracks."""
         img = jnp.asarray(first_image, dtype=dtype)
@@ -110,10 +131,14 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
         xy, score, valid = detect(
             img, jnp.zeros((1, 2), dtype), jnp.zeros((1,), bool),
             jnp.zeros((), dtype), T)
-        ids = jnp.where(valid, jnp.arange(T, dtype=jnp.int32) + 1, -1)
         px = jnp.zeros((T, C, 2), dtype).at[:, 0, :].set(xy)
         if use_stereo:
-            px = px.at[:, 1, :].set(xy)  # placeholder; stereo flow set later
+            assert second_image is not None
+            rpyr = build_pyramid(jnp.asarray(second_image, dtype=dtype), lk_params.max_level)
+            rxy, rok = stereo_match(pyr, grads, rpyr, xy, valid)
+            valid = valid & rok
+            px = px.at[:, 1, :].set(rxy)
+        ids = jnp.where(valid, jnp.arange(T, dtype=jnp.int32) + 1, -1)
         return TrackerState(
             track_ids=ids,
             px=px,
@@ -129,10 +154,16 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
         )
 
     def track_frame(ts: TrackerState, image, rng_key, t,
-                    flow_guess=None, blacklist_flags=None, blacklist_ids=None):
+                    flow_guess=None, blacklist_flags=None, blacklist_ids=None,
+                    second_image=None, stereo_guess=None):
         """Process one new frame; returns (new_state, TrackerOutput)."""
         img = jnp.asarray(image, dtype=dtype)
         cur_pyr = build_pyramid(img, lk_params.max_level)
+        from .pyramid import scharr_gradients as _scharr
+        cur_grads = [_scharr(p) for p in cur_pyr]
+        if use_stereo:
+            assert second_image is not None
+            right_pyr = build_pyramid(jnp.asarray(second_image, dtype=dtype), lk_params.max_level)
 
         alive = ts.track_ids >= 0
         # blacklist feedback from the odometry (reference: deleteTrack)
@@ -150,6 +181,14 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
             list(zip(ts.prev_ix, ts.prev_iy)),
             cur_pyr, prev_px, initial_pts=guesses, params=lk_params)
         tracked = alive & (flow_status == FLOW_OK) & ~black
+
+        # --- stereo: match left->right on the CURRENT pair (reference:
+        # tracker.cpp:409-463, default !independentStereoOpticalFlow) ---
+        if use_stereo:
+            right_px, stereo_ok = stereo_match(
+                cur_pyr, cur_grads, right_pyr, new_px, tracked,
+                guesses=stereo_guess)
+            tracked = tracked & stereo_ok
 
         # --- RANSAC outlier pass (reference: hybrid R2/R5 pipeline) ---
         rng_key, r_key = jax.random.split(rng_key)
@@ -194,6 +233,8 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
         keep = inlier & ~cull
         ids = jnp.where(keep, ts.track_ids, -1)
         px = ts.px.at[:, 0, :].set(jnp.where(keep[:, None], new_px, 0.0))
+        if use_stereo:
+            px = px.at[:, 1, :].set(jnp.where(keep[:, None], right_px, 0.0))
 
         # --- new feature detection (reference: detectNewFeatures) ---
         missing = T - jnp.sum(keep)
@@ -201,6 +242,10 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
         det_xy, det_score, det_valid = detect(
             img, px[:, 0, :], keep, ts.mask_scale, T)
         det_valid = det_valid & do_detect
+        if use_stereo:
+            det_right, det_sok = stereo_match(
+                cur_pyr, cur_grads, right_pyr, det_xy, det_valid)
+            det_valid = det_valid & det_sok
         # fill free slots with detections, in order
         free = ~keep
         free_order = jnp.argsort(~free, stable=True)  # free slots first
@@ -215,6 +260,10 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
         new_xy0 = px[:, 0, :].at[slot_for_det].set(
             jnp.where(fill[:, None], det_xy[det_idx], px[slot_for_det, 0, :]), mode="drop")
         px = px.at[:, 0, :].set(new_xy0)
+        if use_stereo:
+            new_xy1 = px[:, 1, :].at[slot_for_det].set(
+                jnp.where(fill[:, None], det_right[det_idx], px[slot_for_det, 1, :]), mode="drop")
+            px = px.at[:, 1, :].set(new_xy1)
         ids = new_ids
         next_id = ts.next_track_id + take.astype(jnp.int32)
 
@@ -233,9 +282,7 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
         still = last_kf_id == ids
         last_kf_id = jnp.where(still, last_kf_id, -1)
 
-        from .pyramid import scharr_gradients
-
-        grads = [scharr_gradients(p) for p in cur_pyr]
+        grads = cur_grads
         new_state = TrackerState(
             track_ids=ids,
             px=px,

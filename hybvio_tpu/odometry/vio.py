@@ -42,15 +42,18 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=jnp.float64,
     cam0 = cameras[0]
     i2c = jnp.asarray(derived.imu_to_camera, dtype=dtype)
 
+    use_stereo = bool(pt.useStereo)
     backend_init, frame_step = make_backend(
         params, derived, cameras, max_tracks=T, dtype=dtype)
     tracker_init, track_frame = make_tracker(
-        params, cameras, max_tracks=T, dtype=image_dtype)
+        params, cameras, max_tracks=T, dtype=image_dtype, derived=derived)
 
-    def init_fn(first_image, t0=0.0, rng_key=None) -> VioState:
+    def init_fn(first_image, t0=0.0, rng_key=None, second_image=None) -> VioState:
+        if use_stereo and second_image is None and isinstance(first_image, (tuple, list)):
+            first_image, second_image = first_image
         return VioState(
             backend=backend_init(rng_key),
-            tracker=tracker_init(first_image, t0),
+            tracker=tracker_init(first_image, t0, second_image=second_image),
             tracker_ready=jnp.ones((), bool),
         )
 
@@ -96,10 +99,12 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=jnp.float64,
         guess = jnp.where((ok0 & ok1)[:, None], pix1, prev_px)
         return guess.astype(jnp.float32)
 
-    def vio_step(state: VioState, imu: ImuBatch, image):
+    def vio_step(state: VioState, imu: ImuBatch, image, second_image=None):
         # IMU propagation first so the flow prediction uses the pose at the
         # frame time (reference: tracker runs after ekf->predict,
         # backend.cpp:735-765)
+        if use_stereo and second_image is None and isinstance(image, (tuple, list)):
+            image, second_image = image
         bstate = frame_step.imu_scan(state.backend, imu)
         if pt.predictOpticalFlow:
             guess = predict_flow(bstate, state.tracker)
@@ -113,6 +118,7 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=jnp.float64,
             flow_guess=guess,
             blacklist_flags=bstate.blacklist_flags,
             blacklist_ids=bstate.blacklist_ids,
+            second_image=second_image,
         )
         tin = TrackerInput(
             track_ids=tout.track_ids,
