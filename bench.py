@@ -20,6 +20,11 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    # EKF covariance math needs full f32 mantissas: TPU matmuls default to
+    # bfloat16 multiplicands (~8-bit mantissa), which corrupts P and
+    # eventually NaNs the filter. 'highest' = float32 via multi-pass.
+    jax.config.update("jax_default_matmul_precision", "highest")
+
     from hybvio_tpu.config import DerivedParameters, Parameters
     from hybvio_tpu.eval.ate import ate_rmse
     from hybvio_tpu.geometry.cameras import build_pinhole

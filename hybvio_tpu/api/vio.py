@@ -87,6 +87,14 @@ class VioApi:
         self._status = 0
         self._last_reset_time = 0.0
         self._threshold_warned = 0.01
+        self._frame_count = 0
+
+        # optional async SLAM backend (reference: slam.useSlam + applySlam)
+        self.slam = None
+        if params.slam.useSlam:
+            from ..odometry.slam_coupling import SlamCoupling
+
+            self.slam = SlamCoupling(params, self.derived.imu_to_camera)
 
     # --- input (reference: VioApi::addGyro/addAcc/addFrame*) ---
 
@@ -180,6 +188,14 @@ class VioApi:
             shift = float(self._state.backend.ekf.m[19])
             self.sample_sync.set_imu_to_camera_time_shift(shift)
 
+        self._frame_count += 1
+        if self.slam is not None and bool(out.keyframe):
+            self.slam.maybe_submit(
+                np.asarray(image, np.float32),
+                np.asarray(out.position), np.asarray(out.orientation),
+                np.asarray(out.track_ids), np.asarray(out.track_norm),
+                float(out.t), self._frame_count)
+
         self._handle_status_and_reset(out)
         if self.on_output:
             self.on_output(self._convert_output(out))
@@ -243,12 +259,28 @@ class VioApi:
             [pc_ids[sel, None].astype(np.float64), pc[sel]], axis=1) if sel.any() else np.zeros((0, 4))
         trail = np.concatenate([
             np.asarray(out.pose_trail_times)[:, None], np.asarray(out.pose_trail)], axis=1)
+        position = np.asarray(out.position)
+        orientation = np.asarray(out.orientation)
+        velocity = np.asarray(out.velocity)
+        if self.slam is not None and self.slam.coord.ready:
+            # SLAM-corrected outputs (reference: computePose, backend.cpp:1364-1381)
+            position, orientation = self.slam.coord.transform_position_orientation(
+                position, orientation)
+            velocity = self.slam.coord.T[:3, :3] @ velocity
+            if len(cloud):
+                cloud = cloud.copy()
+                cloud[:, 1:4] = (self.slam.coord.T[:3, :3] @ cloud[:, 1:4].T).T + self.slam.coord.T[:3, 3]
+            # merge SLAM map points (reference: getPointCloud, backend.cpp:255-280)
+            if self.slam.point_cloud:
+                slam_pts = np.array([
+                    [-pid, p[0], p[1], p[2]] for pid, tid, p in self.slam.point_cloud])
+                cloud = np.concatenate([cloud, slam_pts]) if len(cloud) else slam_pts
         return VioOutput(
             status=int(out.tracking_status),
             t=float(out.t),
-            position=np.asarray(out.position),
-            orientation=np.asarray(out.orientation),
-            velocity=np.asarray(out.velocity),
+            position=position,
+            orientation=orientation,
+            velocity=velocity,
             position_covariance=np.asarray(out.position_cov),
             point_cloud=cloud,
             pose_trail=trail,

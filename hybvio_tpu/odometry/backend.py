@@ -108,6 +108,9 @@ class FrameOutput(NamedTuple):
     pose_trail: jnp.ndarray  # (L, 7) trail pose states
     pose_trail_times: jnp.ndarray  # (L,)
     good_frame: jnp.ndarray  # () bool
+    keyframe: jnp.ndarray  # () bool (tracker decision, for SLAM cadence)
+    track_ids: jnp.ndarray  # (T,) current tracked ids (for SLAM features)
+    track_norm: jnp.ndarray  # (T, 2) normalized left-camera points
 
 
 def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
@@ -651,6 +654,9 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             pose_trail=ekf.m[CAM:CAM + POSE_DIM * L].reshape(L, POSE_DIM),
             pose_trail_times=ekf.pose_times,
             good_frame=good_frame,
+            keyframe=keyframe,
+            track_ids=state.trail.kf_track_id[1],
+            track_norm=state.trail.kf_norm[1, :, 0, :],
         )
         return state, out
 

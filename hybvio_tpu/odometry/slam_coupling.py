@@ -1,0 +1,145 @@
+"""Odometry <-> SLAM coupling: async submission + coordinate transform.
+
+Port of the backend's SLAM glue (reference: backend.cpp:32-96 Slam-
+OdometryCoordinateTransformer, 399-539 applySlam/applySlamResult): every
+keyframeCandidateInterval-th slam frame is pushed to the SLAM backend (async
+on its own thread when slam.slamThread); the result is consumed
+delayIntervalMultiplier intervals later; a rigid odometry->SLAM transform is
+re-anchored from each (odometry pose, SLAM pose) pair and applied to all
+outputs thereafter.
+"""
+from __future__ import annotations
+
+import concurrent.futures
+import dataclasses
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from ..geometry.quaternion import quat_to_rmat, rmat_to_quat
+from ..slam.session import Slam, SlamResult, mat_to_pose, pose_to_mat
+
+import jax.numpy as jnp
+
+
+def _np_remove_z_tilt(R):
+    rotated_x = R[:, 0]
+    a = np.arctan2(rotated_x[1], rotated_x[0])
+    c, s = np.cos(a), np.sin(a)
+    return np.array([[c, -s, 0.0], [s, c, 0.0], [0.0, 0.0, 1.0]])
+
+
+class SlamOdometryCoordinateTransformer:
+    """Maintains world_odo -> world_slam rigid transform
+    (reference: backend.cpp:32-96)."""
+
+    def __init__(self, remove_z_tilt: bool = True):
+        self.T = np.eye(4)
+        self.ready = False
+        self.remove_z_tilt = remove_z_tilt
+
+    def set_coordinates(self, odo_cw: np.ndarray, slam_cw: np.ndarray) -> None:
+        """Re-anchor so that T @ odo_cw == slam_cw (reference: setCoordinates)."""
+        T = slam_cw @ np.linalg.inv(odo_cw)
+        if self.remove_z_tilt:
+            Rxy = _np_remove_z_tilt(T[:3, :3])
+            # keep the anchor point fixed: T' p_anchor = T p_anchor
+            p = odo_cw[:3, 3]
+            t_new = (T[:3, :3] @ p + T[:3, 3]) - Rxy @ p
+            T = np.eye(4)
+            T[:3, :3] = Rxy
+            T[:3, 3] = t_new
+        self.T = T
+        self.ready = True
+
+    def transform_pose_cw(self, odo_cw: np.ndarray) -> np.ndarray:
+        return self.T @ odo_cw if self.ready else odo_cw
+
+    def transform_point(self, p: np.ndarray) -> np.ndarray:
+        if not self.ready:
+            return p
+        return self.T[:3, :3] @ p + self.T[:3, 3]
+
+    def transform_position_orientation(self, pos, quat):
+        if not self.ready:
+            return pos, quat
+        R = self.T[:3, :3]
+        p = R @ np.asarray(pos) + self.T[:3, 3]
+        Rq = np.asarray(quat_to_rmat(jnp.asarray(quat)))  # world->imu
+        Rq_new = Rq @ R.T
+        q = np.asarray(rmat_to_quat(jnp.asarray(Rq_new)))
+        return p, q
+
+
+@dataclasses.dataclass
+class _Pending:
+    future: "concurrent.futures.Future"
+    odo_cw: np.ndarray
+
+
+class SlamCoupling:
+    """Drives the Slam session at the reference cadence with async results."""
+
+    def __init__(self, params, imu_to_camera: np.ndarray, use_thread: Optional[bool] = None):
+        ps = params.slam
+        self.ps = ps
+        self.slam = Slam(params)
+        self.i2c = np.asarray(imu_to_camera)
+        self.interval = max(int(ps.keyframeCandidateInterval), 1)
+        self.delay_mult = ps.delayIntervalMultiplier
+        self.coord = SlamOdometryCoordinateTransformer(ps.removeOdometryTransformZAxisTilt)
+        self.frame_counter = 0
+        self.pending: List[_Pending] = []
+        use_thread = ps.slamThread if use_thread is None else use_thread
+        self.pool = (concurrent.futures.ThreadPoolExecutor(max_workers=1)
+                     if use_thread else None)
+        self.point_cloud: List[Tuple[int, int, np.ndarray]] = []
+
+    def imu_pose_to_camera_cw(self, pos, quat) -> np.ndarray:
+        """IMU pose (world->imu q) -> camera-to-world 4x4."""
+        R = np.asarray(quat_to_rmat(jnp.asarray(quat)))  # world -> imu
+        w2c = self.i2c[:3, :3] @ R
+        t = -w2c @ np.asarray(pos) + self.i2c[:3, 3]
+        T = np.eye(4)
+        T[:3, :3] = w2c.T
+        T[:3, 3] = -w2c.T @ t
+        return T
+
+    def maybe_submit(self, image, pos, quat, track_ids, norm_pts, t, frame_num) -> bool:
+        """Call on every KEYFRAME (reference: applySlam); submits every
+        interval-th. Returns True if a slam frame was submitted."""
+        self.frame_counter += 1
+        if (self.frame_counter - 1) % self.interval != 0:
+            return False
+        odo_cw = self.imu_pose_to_camera_cw(pos, quat)
+
+        # consume delayed results first (reference: backend.cpp:405-434)
+        max_pending = max(self.delay_mult, 0)
+        while len(self.pending) > max_pending or (
+                self.pending and self.delay_mult < 0):
+            self._consume(self.pending.pop(0))
+
+        def work(img=image, ocw=odo_cw, ids=np.array(track_ids), pts=np.array(norm_pts),
+                 tt=float(t), fn=int(frame_num)):
+            sel = ids >= 0
+            return self.slam.add_frame(img, ocw, ids[sel], pts[sel], tt, fn), ocw
+
+        if self.pool is not None:
+            fut = self.pool.submit(work)
+        else:
+            fut = concurrent.futures.Future()
+            fut.set_result(work())
+        self.pending.append(_Pending(fut, odo_cw))
+        return True
+
+    def _consume(self, pending: _Pending) -> None:
+        result, odo_cw = pending.future.result()
+        self.coord.set_coordinates(odo_cw, result.pose_cw)
+        self.point_cloud = result.point_cloud
+
+    def finish(self) -> None:
+        while self.pending:
+            self._consume(self.pending.pop(0))
+        self.slam.end()
+        if self.pool is not None:
+            self.pool.shutdown(wait=True)
