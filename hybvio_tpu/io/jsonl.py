@@ -206,3 +206,39 @@ class Recorder:
 
     def close(self):
         self.f.close()
+
+
+# numeric sensor-type codes in the legacy CSV format
+# (reference: src/commandline/input_csv.cpp:15-19)
+CSV_FRAME = 1
+CSV_GPS = 2
+CSV_ACCELEROMETER = 3
+CSV_GYROSCOPE = 4
+CSV_ARKIT = 7
+
+
+def read_csv_events(path: str) -> Iterator[InputEvent]:
+    """Legacy CSV reader (reference: src/commandline/input_csv.cpp): rows of
+    `t, type, a, b, c[, ...]` with numeric sensor-type codes."""
+    frame_ind = 0
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line or line.startswith("#"):
+                continue
+            parts = [p.strip() for p in line.split(",")]
+            if len(parts) < 2:
+                continue
+            t = float(parts[0])
+            code = int(float(parts[1]))
+            vals = [float(x) for x in parts[2:5]] + [0.0] * max(0, 5 - len(parts))
+            if code == CSV_GYROSCOPE:
+                yield InputEvent(GYROSCOPE, t, values=(vals[0], vals[1], vals[2]))
+            elif code == CSV_ACCELEROMETER:
+                yield InputEvent(ACCELEROMETER, t, values=(vals[0], vals[1], vals[2]))
+            elif code == CSV_FRAME:
+                fr = InputFrame(camera_ind=0, t=t, number=frame_ind)
+                yield InputEvent(FRAME, t, frames=[fr], frames_index=frame_ind)
+                frame_ind += 1
+            elif code in (CSV_GPS, CSV_ARKIT):
+                yield InputEvent(ECHO, t, raw={"csvType": code, "values": vals})
