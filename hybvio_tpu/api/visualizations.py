@@ -1,0 +1,133 @@
+"""Visualization adapters: video overlays, pose plot, covariance heatmap.
+
+Port of the reference visualization surface (reference: src/api/
+visualizations.cpp, src/views/api_visualization_helpers.cpp,
+visualization_pose.cpp, visualization_internals.cpp) as dependency-free numpy
+raster drawing: track trails/corners on video frames, a 2D trajectory plot
+comparing methods, and covariance magnitude/correlation heatmaps straight
+from the EKF covariance.
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Optional, Tuple
+
+import numpy as np
+
+# simple color palette (RGB float)
+COLORS = {
+    "track": (0.1, 1.0, 0.2),
+    "corner": (1.0, 0.9, 0.1),
+    "outlier": (1.0, 0.2, 0.2),
+    "slam": (0.3, 0.5, 1.0),
+    "our": (0.1, 1.0, 0.2),
+    "groundTruth": (1.0, 1.0, 1.0),
+    "ARKit": (1.0, 0.5, 0.1),
+    "gps": (0.9, 0.2, 0.9),
+}
+
+
+def to_rgb(gray: np.ndarray) -> np.ndarray:
+    g = np.clip(np.asarray(gray, dtype=np.float32), 0, 1)
+    return np.repeat(g[..., None], 3, axis=-1)
+
+
+def draw_circle(img: np.ndarray, x: float, y: float, r: int, color, filled=False):
+    H, W = img.shape[:2]
+    x0, x1 = int(max(x - r, 0)), int(min(x + r + 1, W))
+    y0, y1 = int(max(y - r, 0)), int(min(y + r + 1, H))
+    if x1 <= x0 or y1 <= y0:
+        return
+    ys, xs = np.mgrid[y0:y1, x0:x1]
+    d2 = (xs - x) ** 2 + (ys - y) ** 2
+    mask = d2 <= r * r if filled else (d2 <= r * r) & (d2 >= (r - 1.5) ** 2)
+    img[y0:y1, x0:x1][mask] = color
+
+
+def draw_line(img: np.ndarray, x0, y0, x1, y1, color):
+    H, W = img.shape[:2]
+    n = int(max(abs(x1 - x0), abs(y1 - y0), 1)) + 1
+    xs = np.linspace(x0, x1, n).round().astype(int)
+    ys = np.linspace(y0, y1, n).round().astype(int)
+    ok = (xs >= 0) & (xs < W) & (ys >= 0) & (ys < H)
+    img[ys[ok], xs[ok]] = color
+
+
+def render_video_overlay(gray, track_pixels, track_valid, track_trails=None,
+                         outlier_mask=None, slam_points_px=None) -> np.ndarray:
+    """VIDEO visualization: corners + track trails (+ SLAM reprojections)
+    (reference: api_visualization_helpers.cpp)."""
+    img = to_rgb(gray)
+    px = np.asarray(track_pixels)
+    valid = np.asarray(track_valid)
+    out = np.asarray(outlier_mask) if outlier_mask is not None else np.zeros_like(valid)
+    if track_trails is not None:
+        for trail in track_trails:
+            t = np.asarray(trail)
+            for i in range(len(t) - 1):
+                draw_line(img, t[i, 0], t[i, 1], t[i + 1, 0], t[i + 1, 1], COLORS["track"])
+    for i in np.where(valid)[0]:
+        c = COLORS["outlier"] if out[i] else COLORS["corner"]
+        draw_circle(img, px[i, 0], px[i, 1], 3, c)
+    if slam_points_px is not None:
+        for p in np.asarray(slam_points_px):
+            if p[0] >= 0:
+                draw_circle(img, p[0], p[1], 2, COLORS["slam"], filled=True)
+    return img
+
+
+def render_pose_plot(histories: Dict[str, np.ndarray], size: int = 512,
+                     axes: Tuple[int, int] = (0, 1)) -> np.ndarray:
+    """POSE visualization: 2D trajectory comparison
+    (reference: visualization_pose.cpp). histories: name -> (N, >=3) positions
+    (or (N, >=4) with time in column 0, auto-detected)."""
+    img = np.zeros((size, size, 3), np.float32) + 0.08
+    allpts = []
+    series = {}
+    for name, h in histories.items():
+        h = np.asarray(h)
+        pts = h[:, 1:4] if h.shape[1] >= 4 else h[:, :3]
+        series[name] = pts[:, list(axes)]
+        allpts.append(series[name])
+    if not allpts:
+        return img
+    cat = np.concatenate(allpts)
+    lo = cat.min(axis=0)
+    hi = cat.max(axis=0)
+    span = np.maximum(hi - lo, 1e-6).max()
+    margin = 20
+
+    def to_px(p):
+        q = (p - (lo + hi) / 2) / span * (size - 2 * margin)
+        return q[0] + size / 2, size / 2 - q[1]
+
+    for name, pts in series.items():
+        color = COLORS.get(name, (0.7, 0.7, 0.7))
+        for i in range(len(pts) - 1):
+            x0, y0 = to_px(pts[i])
+            x1, y1 = to_px(pts[i + 1])
+            draw_line(img, x0, y0, x1, y1, color)
+    return img
+
+
+def render_covariance_magnitudes(P: np.ndarray, size: Optional[int] = None) -> np.ndarray:
+    """COVARIANCE_MAGNITUDES visualization: log-magnitude heatmap of the EKF
+    covariance (reference: api.cpp:956-966, visualization_internals.cpp)."""
+    P = np.asarray(P)
+    mag = np.log10(np.abs(P) + 1e-12)
+    mag = (mag - mag.min()) / max(mag.max() - mag.min(), 1e-9)
+    img = np.stack([mag, 0.2 + 0.6 * mag, 1.0 - mag], axis=-1).astype(np.float32)
+    return img
+
+
+def render_correlation(P: np.ndarray) -> np.ndarray:
+    """KF_CORRELATION visualization: correlation heatmap (cov2corr;
+    reference: src/odometry/util.hpp cov2corr + visualization_internals)."""
+    P = np.asarray(P)
+    d = np.sqrt(np.clip(np.diag(P), 1e-30, None))
+    C = P / d[:, None] / d[None, :]
+    C = np.clip(C, -1, 1)
+    img = np.zeros(C.shape + (3,), np.float32)
+    img[..., 0] = np.clip(C, 0, 1)
+    img[..., 2] = np.clip(-C, 0, 1)
+    img[..., 1] = 0.15
+    return img

@@ -1,0 +1,42 @@
+"""Visualization adapter tests (raster sanity checks)."""
+import numpy as np
+
+from hybvio_tpu.api.visualizations import (
+    render_correlation, render_covariance_magnitudes, render_pose_plot,
+    render_video_overlay,
+)
+
+
+def test_video_overlay():
+    g = np.zeros((120, 160), np.float32) + 0.4
+    px = np.array([[40.0, 50.0], [100.0, 80.0], [-1.0, -1.0]])
+    valid = np.array([True, True, False])
+    trails = [np.array([[40, 50], [44, 52], [48, 55]])]
+    img = render_video_overlay(g, px, valid, trails,
+                               outlier_mask=np.array([False, True, False]))
+    assert img.shape == (120, 160, 3)
+    assert img.max() > 0.9  # markers drawn
+    # outlier color (red) present near (100, 80)
+    patch = img[75:85, 95:105]
+    assert (patch[..., 0] > 0.9).any() and not (patch[..., 1] > 0.9).all()
+
+
+def test_pose_plot():
+    t = np.linspace(0, 1, 50)
+    a = np.stack([t, np.cos(t * 6), np.sin(t * 6), t * 0], axis=1)
+    b = a + np.array([0, 0.05, 0.02, 0])
+    img = render_pose_plot({"our": a, "groundTruth": b}, size=256)
+    assert img.shape == (256, 256, 3)
+    assert (img > 0.5).sum() > 50
+
+
+def test_cov_heatmaps():
+    rng = np.random.RandomState(0)
+    A = rng.randn(30, 30)
+    P = A @ A.T
+    m = render_covariance_magnitudes(P)
+    c = render_correlation(P)
+    assert m.shape == (30, 30, 3) and c.shape == (30, 30, 3)
+    assert np.isfinite(m).all() and np.isfinite(c).all()
+    # diagonal correlation = 1 -> pure red
+    assert (c[np.arange(30), np.arange(30), 0] > 0.99).all()
