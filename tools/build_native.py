@@ -1,0 +1,25 @@
+#!/usr/bin/env python
+"""Build the native runtime library (native/*.cpp -> native/libhybvio_native.so)."""
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SRC_DIR = os.path.join(ROOT, "native")
+OUT = os.path.join(SRC_DIR, "libhybvio_native.so")
+
+
+def build(force: bool = False) -> str:
+    srcs = [os.path.join(SRC_DIR, f) for f in sorted(os.listdir(SRC_DIR))
+            if f.endswith(".cpp")]
+    if not force and os.path.exists(OUT) and all(
+            os.path.getmtime(OUT) >= os.path.getmtime(s) for s in srcs):
+        return OUT
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
+           "-o", OUT] + srcs
+    subprocess.check_call(cmd)
+    return OUT
+
+
+if __name__ == "__main__":
+    print(build(force="--force" in sys.argv))
