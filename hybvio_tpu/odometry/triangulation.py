@@ -129,8 +129,8 @@ def triangulate_gn(
     C = jnp.einsum("nij,jk->nik", poses.R, R0T)  # (N,3,3)
     t = jnp.einsum("nij,nj->ni", poses.R, p0[None, :] - poses.p)  # (N,3)
 
-    def gn_body(carry, _):
-        pfi, Jprev, converged, rcond = carry
+    def gn_step(pfi, C, t, ips):
+        """One Gauss-Newton step; returns (pfi_new, J, rcond)."""
         pfiab = jnp.stack([pfi[0], pfi[1], jnp.ones((), dtype=dtype)])
         h = jnp.einsum("nij,j->ni", C, pfiab) + pfi[2] * t  # (N,3)
         h2 = h[:, 2]
@@ -152,10 +152,23 @@ def triangulate_gn(
 
         # rcond of ETE (3x3): ratio of min/max eigenvalue
         eig = jnp.linalg.eigvalsh(ETE)
-        rcond_new = jnp.abs(eig[0]) / jnp.maximum(jnp.abs(eig[-1]), 1e-300)
+        rcond = jnp.abs(eig[0]) / jnp.maximum(jnp.abs(eig[-1]), 1e-300)
+        J = 0.5 * jnp.sum(err * err) / (convergence_r * convergence_r)
+        return pfi_new, J, rcond
 
-        err2 = jnp.sum(err * err)
-        J = 0.5 * err2 / (convergence_r * convergence_r)
+    # Fixed-point solve OUTSIDE the autodiff graph, then ONE differentiable
+    # GN step at the solution (implicit-function differentiation). The
+    # reference differentiates the whole iteration path by hand
+    # (triangulation.cpp:210-340); at convergence both agree to first order,
+    # and the implicit form keeps jit graphs ~10x smaller (this sits inside
+    # jacfwd inside a vmapped per-track update).
+    C_ng = jax.lax.stop_gradient(C)
+    t_ng = jax.lax.stop_gradient(t)
+    ips_ng = jax.lax.stop_gradient(ips)
+
+    def gn_body(carry, _):
+        pfi, Jprev, converged, rcond = carry
+        pfi_new, J, rcond_new = gn_step(pfi, C_ng, t_ng, ips_ng)
         Jd = jnp.abs((J - Jprev) / jnp.where(jnp.abs(J) > 0, J, 1.0))
         # J ~ 0 (perfect fit) counts as converged: the relative criterion is
         # undefined there (the reference never hits this case on real data)
@@ -163,12 +176,16 @@ def triangulate_gn(
         return (pfi_new, J, converged_new, rcond_new), None
 
     init = (
-        pfi,
+        jax.lax.stop_gradient(pfi),
         jnp.asarray(1e10, dtype=dtype),
         jnp.zeros((), dtype=bool),
         jnp.zeros((), dtype=dtype),
     )
-    (pfi, _, converged, rcond), _ = jax.lax.scan(gn_body, init, None, length=gn_iterations)
+    (pfi_star, _, converged, rcond), _ = jax.lax.scan(
+        gn_body, init, None, length=gn_iterations - 1)
+
+    # the differentiable step (carries all input sensitivities)
+    pfi, _, rcond = gn_step(jax.lax.stop_gradient(pfi_star), C, t, ips)
 
     pf_c0 = inverse_depth(pfi)
     pf = R0T @ pf_c0 + p0
