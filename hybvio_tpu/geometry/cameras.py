@@ -76,7 +76,8 @@ def build_pinhole(fx, fy, cx, cy, coeffs=(), width=-1, height=-1, rotation=None,
     )
 
 
-def build_fisheye(fx, fy, cx, cy, coeffs=(), max_valid_fov_deg=180.0, dtype=jnp.float64) -> Camera:
+def build_fisheye(fx, fy, cx, cy, coeffs=(), max_valid_fov_deg=180.0,
+                  width=-1, height=-1, dtype=jnp.float64) -> Camera:
     c = np.zeros(4)
     coeffs = tuple(coeffs)
     has_dist = len(coeffs) > 1
@@ -91,6 +92,7 @@ def build_fisheye(fx, fy, cx, cy, coeffs=(), max_valid_fov_deg=180.0, dtype=jnp.
         fx=a(fx), fy=a(fy), cx=a(cx), cy=a(cy), coeffs=a(c), rot=a(np.eye(3)),
         max_valid_theta=a(max_theta), max_valid_r=a(max_r),
         kind=FISHEYE, has_distortion=has_dist, has_rotation=False,
+        width=int(width), height=int(height),
     )
 
 
@@ -117,7 +119,8 @@ def build_camera_from_params(pt, width: int, height: int, second: bool = False, 
     if len(coeffs) == 1 and coeffs[0] == 0.0:
         coeffs = ()
     if pt.fisheyeCamera:
-        return build_fisheye(fx, fy, cx, cy, coeffs, pt.validCameraFov, dtype=dtype)
+        return build_fisheye(fx, fy, cx, cy, coeffs, pt.validCameraFov,
+                             width=width, height=height, dtype=dtype)
     return build_pinhole(fx, fy, cx, cy, coeffs, width, height, dtype=dtype)
 
 
