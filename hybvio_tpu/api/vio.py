@@ -262,6 +262,19 @@ class VioApi:
         position = np.asarray(out.position)
         orientation = np.asarray(out.orientation)
         velocity = np.asarray(out.velocity)
+        if self.params.odometry.outputCameraPose:
+            # output the first camera pose instead of the IMU pose
+            # (reference: odometry.outputCameraPose -> imuToOutput,
+            # tracker/util.cpp:106-108)
+            import jax.numpy as jnp
+            from ..geometry.poses import to_camera_to_world
+            from ..geometry.quaternion import rmat_to_quat
+
+            c2w = np.asarray(to_camera_to_world(
+                jnp.asarray(position), jnp.asarray(orientation),
+                jnp.asarray(self.derived.imu_to_output)))
+            position = c2w[:3, 3]
+            orientation = np.asarray(rmat_to_quat(jnp.asarray(c2w[:3, :3].T)))
         if self.slam is not None and self.slam.coord.ready:
             # SLAM-corrected outputs (reference: computePose, backend.cpp:1364-1381)
             position, orientation = self.slam.coord.transform_position_orientation(

@@ -153,3 +153,23 @@ def process_noise_q(po, dtype=jnp.float64) -> jnp.ndarray:
     q[Q_ACC : Q_ACC + 3] = po.noiseProcessAcc**2
     q[Q_GYRO : Q_GYRO + 3] = po.noiseProcessGyro**2
     return jnp.asarray(q * noise_scale, dtype=dtype)
+
+
+STATE_PART_NAMES = ("POS", "VEL", "ORI", "BGA", "BAA", "BAT", "SFT")
+STATE_PARTS = (POS, VEL, ORI, BGA, BAA, BAT, SFT)
+STATE_PART_SIZES = (3, 3, 4, 3, 3, 3, 1)
+
+
+def state_as_string(s: "EKFState") -> str:
+    """One-line digest of the inertial state + uncertainties
+    (reference: EKF::stateAsString, ekf.cpp:998-1022)."""
+    import numpy as np
+
+    m = np.asarray(s.m)
+    var = np.asarray(jnp.diagonal(s.P))[:INER_DIM]
+    parts = []
+    for name, off, size in zip(STATE_PART_NAMES, STATE_PARTS, STATE_PART_SIZES):
+        vals = " ".join(f"{m[off + j]:.3g}" for j in range(size))
+        v = float(np.sqrt(max(var[off:off + size].max(), 0.0)))
+        parts.append(f"{name} {vals} [{v:.2g}]")
+    return ", ".join(parts) + f", t {float(s.time):.3f}"
