@@ -1,10 +1,17 @@
 #!/usr/bin/env python
-"""Benchmark: single-chip VIO throughput on a synthetic EuRoC-like sequence.
+"""Benchmark: single-chip VIO throughput on synthetic EuRoC-like sequences.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is relative to the 200 FPS/chip target (BASELINE.json: >10x
 real-time stereo EuRoC per TPU chip).
 
+Modes (env BENCH_MODE):
+  batched (default): B independent sequences vmapped on one chip — the
+    reference's "all EuRoC sequences in parallel" offline benchmark
+    (BASELINE.json config 5); reports AGGREGATE frames/sec/chip.
+  single: one sequence; reports per-frame latency FPS.
+
+Env: BENCH_FRAMES (default 300), BENCH_BATCH (default 8).
 Runs on whatever jax.default_backend() provides (the TPU chip under the
 driver; CPU locally with JAX_PLATFORMS=cpu). Uses float32 on device.
 """
@@ -19,6 +26,13 @@ import numpy as np
 def main():
     import jax
     import jax.numpy as jnp
+
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+    try:
+        jax.config.update("jax_compilation_cache_dir",
+                          os.environ["JAX_COMPILATION_CACHE_DIR"])
+    except Exception:
+        pass
 
     # EKF covariance math needs full f32 mantissas: TPU matmuls default to
     # bfloat16 multiplicands (~8-bit mantissa), which corrupts P and
@@ -38,6 +52,8 @@ def main():
     W, H = 752, 480
     FX = FY = 458.0
     n_frames = int(os.environ.get("BENCH_FRAMES", "300"))
+    mode = os.environ.get("BENCH_MODE", "batched")
+    B = int(os.environ.get("BENCH_BATCH", "8"))
     duration = n_frames / 20.0
     dtype = jnp.float32
 
@@ -68,6 +84,9 @@ def main():
 
     F = min(n_frames, len(seq.frame_sample_idx))
     frames = [render(fi) for fi in range(F)]
+
+    if mode == "batched":
+        return run_batched(p, derived, cam, seq, frames, F, B, dtype)
 
     init_fn, vio_step = make_vio(p, derived, (cam,), max_tracks=p.tracker.maxTracks, dtype=dtype)
     vio_step = jax.jit(vio_step)
@@ -123,6 +142,88 @@ def main():
         },
     }
     print(json.dumps(result))
+
+
+def run_batched(p, derived, cam, seq, frames, F, B, dtype):
+    """Batched offline benchmark: B sequences in parallel on one chip
+    (the per-chip throughput mode; cross-sequence batching is the designed
+    TPU scaling axis, SURVEY.md section 2). For benchmarking, the B lanes
+    replay the same sequence with different RNG/noise; compute is identical
+    to B distinct sequences (no cross-lane interaction exists)."""
+    import json as _json
+    import time as _time
+
+    import jax
+    import jax.numpy as jnp
+
+    from hybvio_tpu.eval.ate import ate_rmse
+    from hybvio_tpu.odometry.backend import ImuBatch
+    from hybvio_tpu.parallel.batched import make_batched_vio
+
+    batched_init, batched_step = make_batched_vio(
+        p, derived, (cam,), batch_size=B, max_tracks=p.tracker.maxTracks,
+        dtype=dtype)
+
+    rng = np.random.RandomState(1)
+    imgs0 = jnp.asarray(np.stack([frames[0]] * B), dtype)
+    states = batched_init(imgs0, np.full(B, float(seq.frame_times[0])), np.arange(B))
+
+    S_max = int(np.max(np.diff(np.concatenate([[0], seq.frame_sample_idx + 1]))))
+
+    def batch_for(fi, prev):
+        k = seq.frame_sample_idx[fi] + 1
+        n = k - prev
+        pad = S_max - n
+        t = np.pad(seq.times[prev:k], (0, pad), constant_values=seq.times[k - 1])
+        g = np.pad(seq.gyro[prev:k], ((0, pad), (0, 0)))
+        a = np.pad(seq.acc[prev:k], ((0, pad), (0, 0)))
+        valid = np.arange(S_max) < n
+        # tile over lanes with small per-lane IMU noise jitter
+        gB = np.stack([g + 1e-4 * rng.randn(*g.shape) for _ in range(B)])
+        aB = np.stack([a + 1e-3 * rng.randn(*a.shape) for _ in range(B)])
+        return ImuBatch(
+            jnp.asarray(np.tile(t, (B, 1)), dtype), jnp.asarray(gB, dtype),
+            jnp.asarray(aB, dtype), jnp.asarray(np.tile(valid, (B, 1)))), k
+
+    prev = seq.frame_sample_idx[0] + 1
+    b, _ = batch_for(1, prev)
+    img1 = jnp.asarray(np.stack([frames[1]] * B), dtype)
+    warm, _ = batched_step(states, b, img1)
+    jax.block_until_ready(warm.backend.ekf.m)
+
+    positions = []
+    t0 = _time.perf_counter()
+    for fi in range(1, F):
+        batch, prev = batch_for(fi, prev)
+        imgs = jnp.asarray(np.stack([frames[fi]] * B), dtype)
+        states, out = batched_step(states, batch, imgs)
+        positions.append(out.position)
+    jax.block_until_ready(states.backend.ekf.m)
+    elapsed = _time.perf_counter() - t0
+
+    agg_fps = B * (F - 1) / elapsed
+    est = np.stack([np.asarray(x) for x in positions])  # (F-1, B, 3)
+    gt = seq.pos[seq.frame_sample_idx[1:F]] - seq.pos[0]
+    ates = []
+    for b_ in range(B):
+        lane = est[:, b_, :]
+        if np.isfinite(lane).all():
+            ates.append(ate_rmse(lane, gt))
+    result = {
+        "metric": "synthetic_mono_vio_batched_fps_per_chip",
+        "value": round(agg_fps, 2),
+        "unit": "frames/s/chip (aggregate, B=%d)" % B,
+        "vs_baseline": round(agg_fps / 200.0, 4),
+        "extra": {
+            "batch": B,
+            "frames_per_seq": F - 1,
+            "step_latency_ms": round(1000.0 * elapsed / (F - 1), 2),
+            "finite_lanes": len(ates),
+            "ate_rmse_m_median": round(float(np.median(ates)), 4) if ates else None,
+            "backend": jax.default_backend(),
+        },
+    }
+    print(_json.dumps(result))
 
 
 if __name__ == "__main__":
