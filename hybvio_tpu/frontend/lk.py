@@ -41,6 +41,46 @@ def _window_offsets(window_size: int, dtype):
     return jnp.stack([ox, oy], axis=-1).reshape(-1, 2)  # (w*w, 2)
 
 
+def _gather_patches(img, centers, ps: int):
+    """Extract (N, ps, ps) integer-aligned patches around centers (N,2).
+
+    Uses ONE dynamic-slice gather per feature (cheap, contiguous) instead of
+    per-pixel gathers; callers then sample bilinearly WITHIN these patches.
+    Returns (patches, corner (N,2) int patch origins)."""
+    H, W = img.shape
+    r = ps // 2
+    cx = jnp.clip(jnp.floor(centers[:, 0]).astype(jnp.int32) - r, 0, W - ps)
+    cy = jnp.clip(jnp.floor(centers[:, 1]).astype(jnp.int32) - r, 0, H - ps)
+
+    def one(x0, y0):
+        return jax.lax.dynamic_slice(img, (y0, x0), (ps, ps))
+
+    patches = jax.vmap(one)(cx, cy)
+    return patches, jnp.stack([cx, cy], axis=1)
+
+
+def _bilinear_patch(patches_flat, corner, pts, ps: int):
+    """Bilinear sample per-feature patches at absolute pixel positions.
+
+    patches_flat: (N, ps*ps); corner: (N,2) patch origins; pts: (N,K,2).
+    Out-of-patch positions clamp (callers bound the motion per level).
+    """
+    local = pts - corner[:, None, :].astype(pts.dtype)
+    x = jnp.clip(local[..., 0], 0.0, ps - 1.001)
+    y = jnp.clip(local[..., 1], 0.0, ps - 1.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = x - x0
+    fy = y - y0
+    i00 = y0 * ps + x0
+    v00 = jnp.take_along_axis(patches_flat, i00, axis=1)
+    v01 = jnp.take_along_axis(patches_flat, i00 + 1, axis=1)
+    v10 = jnp.take_along_axis(patches_flat, i00 + ps, axis=1)
+    v11 = jnp.take_along_axis(patches_flat, i00 + ps + 1, axis=1)
+    return (v00 * (1 - fx) * (1 - fy) + v01 * fx * (1 - fy)
+            + v10 * (1 - fx) * fy + v11 * fx * fy)
+
+
 def lk_track_level(
     prev_img, prev_ix, prev_iy, cur_img, prev_pts, guesses, params: LKParams
 ):
@@ -48,58 +88,87 @@ def lk_track_level(
 
     prev_pts, guesses: (N, 2) at THIS level's scale. Returns (new_pts (N,2),
     ok (N,), min_eig (N,)).
+
+    TPU-shaped implementation: the template window + gradients come from one
+    contiguous patch slice per feature; the iterations bilinearly sample a
+    slightly larger current-image patch around the guess, so the hot loop does
+    only small-domain batched gathers (jnp.take_along_axis over ps*ps
+    elements) instead of image-wide gathers.
     """
     dtype = prev_img.dtype
     offs = _window_offsets(params.window_size, dtype)  # (K,2)
     H, W = prev_img.shape
-    r = params.window_size // 2
+    w = params.window_size
+    r = w // 2
+    N = prev_pts.shape[0]
 
-    def one(p0, g0):
-        pts = p0[None, :] + offs  # (K,2)
-        t = bilinear_sample(prev_img, pts)
-        ix = bilinear_sample(prev_ix, pts)
-        iy = bilinear_sample(prev_iy, pts)
-        gxx = jnp.sum(ix * ix)
-        gyy = jnp.sum(iy * iy)
-        gxy = jnp.sum(ix * iy)
-        n = offs.shape[0]
-        tr2 = 0.5 * (gxx + gyy) / n
-        det = (gxx * gyy - gxy * gxy) / (n * n)
-        min_eig = tr2 - jnp.sqrt(jnp.maximum(tr2 * tr2 - det, 0.0))
-        det_g = gxx * gyy - gxy * gxy
-        ok_g = det_g > 1e-12
-        safe_det = jnp.where(ok_g, det_g, 1.0)
+    # template patches (window + 1px bilinear margin)
+    ps_t = w + 3
+    tp, tc = _gather_patches(prev_img, prev_pts, ps_t)
+    xp, _ = _gather_patches(prev_ix, prev_pts, ps_t)
+    yp, _ = _gather_patches(prev_iy, prev_pts, ps_t)
+    tpf = tp.reshape(N, -1)
+    xpf = xp.reshape(N, -1)
+    ypf = yp.reshape(N, -1)
+    tpts = prev_pts[:, None, :] + offs[None, :, :]
+    t = _bilinear_patch(tpf, tc, tpts, ps_t)  # (N,K)
+    ix = _bilinear_patch(xpf, tc, tpts, ps_t)
+    iy = _bilinear_patch(ypf, tc, tpts, ps_t)
 
-        def body(_, carry):
-            q, done = carry
-            w = bilinear_sample(cur_img, q[None, :] + offs)
-            di = w - t
-            bx = jnp.sum(di * ix)
-            by = jnp.sum(di * iy)
-            dx = (gyy * bx - gxy * by) / safe_det
-            dy = (-gxy * bx + gxx * by) / safe_det
-            delta = jnp.stack([dx, dy])
-            converged = jnp.linalg.norm(delta) < params.epsilon
-            q_new = jnp.where(done, q, q - delta)
-            return (q_new, done | converged)
+    gxx = jnp.sum(ix * ix, axis=1)
+    gyy = jnp.sum(iy * iy, axis=1)
+    gxy = jnp.sum(ix * iy, axis=1)
+    nk = offs.shape[0]
+    tr2 = 0.5 * (gxx + gyy) / nk
+    det_n = (gxx * gyy - gxy * gxy) / (nk * nk)
+    min_eig = tr2 - jnp.sqrt(jnp.maximum(tr2 * tr2 - det_n, 0.0))
+    det_g = gxx * gyy - gxy * gxy
+    ok_g = det_g > 1e-12
+    safe_det = jnp.where(ok_g, det_g, 1.0)
 
-        q, _ = jax.lax.fori_loop(0, params.max_iter, body, (g0, ~ok_g))
-        in_bounds = (
-            (q[0] >= r) & (q[0] < W - r) & (q[1] >= r) & (q[1] < H - r)
-            & (p0[0] >= r) & (p0[0] < W - r) & (p0[1] >= r) & (p0[1] < H - r)
-        )
-        # appearance residual at the converged position: protects against the
-        # LK failure mode where a feature drifts onto low-texture background
-        # and freezes at the initial guess (cv::calcOpticalFlowPyrLK has no
-        # such check; the reference relies on downstream RANSAC, but a frozen
-        # *set* of points forms a false consensus there)
-        w_final = bilinear_sample(cur_img, q[None, :] + offs)
-        resid = jnp.mean(jnp.abs(w_final - t))
-        contrast = jnp.maximum(jnp.max(t) - jnp.min(t), 1e-6)
-        ok_resid = resid <= jnp.maximum(0.25 * contrast, 0.02)
-        return q, ok_g & in_bounds & ok_resid, min_eig
+    # current-image patches around the guess, with room for the iterations to
+    # move (motion beyond the margin re-centers never happens within a level:
+    # the pyramid handles large motion; margin matches OpenCV-ish behavior)
+    margin = 8
+    ps_c = w + 2 * margin + 3
+    cp, cc = _gather_patches(cur_img, guesses, ps_c)
+    cpf = cp.reshape(N, -1)
 
-    return jax.vmap(one)(prev_pts, guesses)
+    def body(_, carry):
+        q, done = carry
+        pts = q[:, None, :] + offs[None, :, :]
+        wv = _bilinear_patch(cpf, cc, pts, ps_c)  # (N,K)
+        di = wv - t
+        bx = jnp.sum(di * ix, axis=1)
+        by = jnp.sum(di * iy, axis=1)
+        dx = (gyy * bx - gxy * by) / safe_det
+        dy = (-gxy * bx + gxx * by) / safe_det
+        delta = jnp.stack([dx, dy], axis=1)
+        converged = jnp.sum(delta * delta, axis=1) < params.epsilon**2
+        q_new = jnp.where(done[:, None], q, q - delta)
+        return (q_new, done | converged)
+
+    q, _ = jax.lax.fori_loop(0, params.max_iter, body, (guesses, ~ok_g))
+
+    # fail if the track left its sampling patch (would have clamped)
+    local = q - cc.astype(dtype)
+    in_patch = ((local[:, 0] >= r + 1) & (local[:, 0] < ps_c - r - 2)
+                & (local[:, 1] >= r + 1) & (local[:, 1] < ps_c - r - 2))
+    in_bounds = (
+        (q[:, 0] >= r) & (q[:, 0] < W - r) & (q[:, 1] >= r) & (q[:, 1] < H - r)
+        & (prev_pts[:, 0] >= r) & (prev_pts[:, 0] < W - r)
+        & (prev_pts[:, 1] >= r) & (prev_pts[:, 1] < H - r)
+    )
+    # appearance residual at the converged position: protects against the LK
+    # failure mode where a feature drifts onto low-texture background and
+    # freezes at the initial guess (cv::calcOpticalFlowPyrLK has no such
+    # check; the reference relies on downstream RANSAC, but a frozen *set* of
+    # points forms a false consensus there)
+    w_final = _bilinear_patch(cpf, cc, q[:, None, :] + offs[None, :, :], ps_c)
+    resid = jnp.mean(jnp.abs(w_final - t), axis=1)
+    contrast = jnp.maximum(jnp.max(t, axis=1) - jnp.min(t, axis=1), 1e-6)
+    ok_resid = resid <= jnp.maximum(0.25 * contrast, 0.02)
+    return q, ok_g & in_bounds & in_patch & ok_resid, min_eig
 
 
 def lk_track_pyramid(

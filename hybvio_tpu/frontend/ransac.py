@@ -236,3 +236,102 @@ def hybrid_ransac(
     inliers = jnp.where(pick_r2, r2.inliers, jnp.where(pick_r5, r5.inliers, False))
     return HybridRansacResult(
         inliers=inliers, score=r2.score, used_r5=pick_r5, skipped=skipped)
+
+
+class Ransac3Result(NamedTuple):
+    R: jnp.ndarray  # (3,3) prev->cur rigid rotation
+    t: jnp.ndarray  # (3,)
+    inliers: jnp.ndarray  # (T,) bool
+    inlier_count: jnp.ndarray  # () int32
+    ok: jnp.ndarray  # () bool
+
+
+def ransac3(
+    prev_pts3d: jnp.ndarray,
+    cur_pts3d: jnp.ndarray,
+    cur_norm: jnp.ndarray,
+    valid: jnp.ndarray,
+    rng_key,
+    error_thresh: float = 1e-4,
+    max_iters: int = 128,
+) -> Ransac3Result:
+    """Stereo 2D-3D absolute-pose RANSAC (reference: doRansac3,
+    ransac_pipeline.cpp:218-272, wrapping Theia EstimateCalibratedAbsolutePose
+    on stereo-triangulated previous-frame points).
+
+    TPU redesign: with stereo, BOTH frames have triangulated 3D points, so the
+    minimal solver becomes 3-point rigid alignment (Kabsch) — trivially
+    vmappable, unlike P3P's quartic — while the inlier metric stays the
+    reference's: squared NORMALIZED reprojection error of the transformed
+    previous point against the current 2D feature < error_thresh.
+
+    prev_pts3d/cur_pts3d: (T,3) camera-frame points (prev/cur cam0);
+    cur_norm: (T,2) current normalized image points; valid: (T,).
+    """
+    dtype = prev_pts3d.dtype
+    T = prev_pts3d.shape[0]
+    n = jnp.sum(valid)
+    order = jnp.argsort(~valid, stable=True)
+    k1, _ = jax.random.split(rng_key)
+    idx = jax.random.randint(k1, (max_iters, 3), 0, jnp.maximum(n, 1))
+    slots = order[idx]  # (K,3)
+
+    def solve(sl):
+        a = prev_pts3d[sl]  # (3,3)
+        b = cur_pts3d[sl]
+        ca = jnp.mean(a, axis=0)
+        cb = jnp.mean(b, axis=0)
+        Hm = (a - ca).T @ (b - cb)
+        U, _, Vt = jnp.linalg.svd(Hm)
+        det = jnp.linalg.det(Vt.T @ U.T)
+        D = jnp.diag(jnp.asarray([1.0, 1.0, jnp.where(det < 0, -1.0, 1.0)], dtype))
+        R = Vt.T @ D @ U.T
+        t = cb - R @ ca
+        return R, t
+
+    Rs, ts = jax.vmap(solve)(slots)
+
+    def count(R, t):
+        p = prev_pts3d @ R.T + t  # (T,3)
+        z = p[:, 2]
+        okz = z > 1e-6
+        proj = p[:, :2] / jnp.where(okz, z, 1.0)[:, None]
+        e2 = jnp.sum((proj - cur_norm) ** 2, axis=1)
+        return valid & okz & (e2 < error_thresh)
+
+    inl_all = jax.vmap(count)(Rs, ts)
+    counts = jnp.sum(inl_all, axis=1)
+    distinct = (slots[:, 0] != slots[:, 1]) & (slots[:, 1] != slots[:, 2]) & (slots[:, 0] != slots[:, 2])
+    counts = jnp.where(distinct, counts, -1)
+    best = jnp.argmax(counts)
+    R_best, t_best = Rs[best], ts[best]
+
+    # refit on inliers (least-squares Kabsch over the inlier set)
+    inl0 = inl_all[best]
+    w = inl0.astype(dtype)
+    sw = jnp.maximum(jnp.sum(w), 1.0)
+    ca = jnp.sum(prev_pts3d * w[:, None], axis=0) / sw
+    cb = jnp.sum(cur_pts3d * w[:, None], axis=0) / sw
+    Hm = jnp.einsum("n,ni,nj->ij", w, prev_pts3d - ca, cur_pts3d - cb)
+    U, _, Vt = jnp.linalg.svd(Hm)
+    det = jnp.linalg.det(Vt.T @ U.T)
+    D = jnp.diag(jnp.asarray([1.0, 1.0, jnp.where(det < 0, -1.0, 1.0)], dtype))
+    R_fit = Vt.T @ D @ U.T
+    t_fit = cb - R_fit @ ca
+    enough = jnp.sum(inl0) >= 3
+    R_f = jnp.where(enough, R_fit, R_best)
+    t_f = jnp.where(enough, t_fit, t_best)
+
+    def count2(R, t):
+        p = prev_pts3d @ R.T + t
+        z = p[:, 2]
+        okz = z > 1e-6
+        proj = p[:, :2] / jnp.where(okz, z, 1.0)[:, None]
+        e2 = jnp.sum((proj - cur_norm) ** 2, axis=1)
+        return valid & okz & (e2 < error_thresh)
+
+    inl = count2(R_f, t_f)
+    ok = n >= 3
+    inl = inl & ok
+    return Ransac3Result(R=R_f, t=t_f, inliers=inl,
+                         inlier_count=jnp.sum(inl).astype(jnp.int32), ok=ok)

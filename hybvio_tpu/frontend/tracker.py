@@ -190,19 +190,52 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
                 guesses=stereo_guess)
             tracked = tracked & stereo_ok
 
-        # --- RANSAC outlier pass (reference: hybrid R2/R5 pipeline) ---
+        # --- RANSAC outlier pass (reference: ransac_pipeline.cpp:119-150:
+        # R2 always runs for the stationarity score; stereo prefers RANSAC3;
+        # mono uses the hybrid R2/R5 selection) ---
         rng_key, r_key = jax.random.split(rng_key)
         from ..geometry.cameras import normalize_pixel as _norm_px
-        n1, ok_n1 = _norm_px(cam0, prev_px.astype(jnp.float64) if False else prev_px)
+        n1, ok_n1 = _norm_px(cam0, prev_px)
         n2, ok_n2 = _norm_px(cam0, new_px)
+        valid_n = tracked & ok_n1 & ok_n2
         hr = hybrid_ransac(cam0, cam0, prev_px, new_px, n1, n2,
-                           tracked & ok_n1 & ok_n2, r_key, pt,
+                           valid_n, r_key, pt,
                            ransac2_threshold, ransac5_threshold)
-        inlier = tracked & hr.inliers
+        ransac_inliers = hr.inliers
+        ransac_skipped = hr.skipped
+        if use_stereo and pt.useRansac3:
+            # stereo 2D-3D absolute pose (reference: doRansac3)
+            from functools import partial as _partial
+
+            from ..odometry.triangulation import triangulate_stereo_idp
+            from .ransac import ransac3
+
+            rng_key, r3_key = jax.random.split(rng_key)
+            n1r, ok1r = _norm_px(cam1, ts.px[:, 1, :])
+            n2r, ok2r = _norm_px(cam1, right_px)
+            # second-to-first camera = inverse of cam0->cam1
+            s2f = jnp.linalg.inv(cam0_to_cam1)
+            tri = jax.vmap(_partial(triangulate_stereo_idp, with_cov=False),
+                           in_axes=(0, 0, None))
+            idp_prev, _, okt1 = tri(n1, n1r, s2f)
+            idp_cur, _, okt2 = tri(n2, n2r, s2f)
+
+            def idp_to_xyz(idp):
+                z = 1.0 / jnp.where(jnp.abs(idp[:, 2]) > 1e-9, idp[:, 2], 1.0)
+                return jnp.stack([idp[:, 0] * z, idp[:, 1] * z, z], axis=1)
+
+            v3 = valid_n & ok1r & ok2r & okt1 & okt2 & (idp_prev[:, 2] > 1e-4) & (idp_cur[:, 2] > 1e-4)
+            r3 = ransac3(idp_to_xyz(idp_prev), idp_to_xyz(idp_cur), n2, v3,
+                         r3_key, error_thresh=pt.ransac3ErrorThresh)
+            frac3 = r3.inlier_count / jnp.maximum(jnp.sum(valid_n), 1).astype(img.dtype)
+            r3_good = r3.ok & (frac3 >= pt.ransacMinInlierFraction)
+            ransac_inliers = jnp.where(r3_good, r3.inliers, ransac_inliers)
+            ransac_skipped = jnp.where(r3_good, False, ransac_skipped)
+        inlier = tracked & ransac_inliers
         # RANSAC skipped entirely -> all tracks become outliers (reference:
         # ransac_pipeline.cpp:139-147), except during bootstrap (<2 tracks)
         few = jnp.sum(tracked) < 2
-        inlier = jnp.where(hr.skipped & ~few, False, inlier)
+        inlier = jnp.where(ransac_skipped & ~few, False, inlier)
         inlier = jnp.where(few, tracked, inlier)
         r2 = hr  # .score used below
 
