@@ -78,6 +78,7 @@ class VioApi:
         self.sample_sync = SampleSync(params.odometry)
         self.on_output: Optional[Callable[[VioOutput], None]] = None
         self.recorder: Optional[Recorder] = None
+        self.debug_api = None  # optional odometry.debug.DebugAPI
         self._lock = threading.Lock()
 
         self._state = None
@@ -197,6 +198,13 @@ class VioApi:
                 float(out.t), self._frame_count)
 
         self._handle_status_and_reset(out)
+        if self.debug_api is not None and self.debug_api.publisher is not None:
+            pub = self.debug_api.publisher
+            pub.start_frame(float(out.t), self._state)
+            pc = np.asarray(out.point_cloud)
+            ids = np.asarray(out.point_cloud_ids)
+            if (ids >= 0).any():
+                pub.add_point_cloud(pc[ids >= 0])
         if self.on_output:
             self.on_output(self._convert_output(out))
 
