@@ -133,42 +133,48 @@ def subpixel_refine(img: jnp.ndarray, xy: jnp.ndarray, window: int = 10,
                     iters: int = 5):
     """Corner subpixel refinement (reference: src/tracker/subpixel_adjuster.cpp
     wrapping cv::cornerSubPix). Gradient-product centroid iteration over a
-    (2*window+1)^2 neighborhood; out-of-bounds results revert."""
-    from .pyramid import bilinear_sample
+    (2*window+1)^2 neighborhood; out-of-bounds results revert.
+
+    TPU-shaped: full-image central-difference gradients once, then per-corner
+    contiguous patch slices + single-shift bilinear blends (no per-pixel
+    gathers in the loop)."""
+    from .lk import _gather_patches, _window_shift_sample
 
     H, W = img.shape
     r = window
-    offs = jnp.stack(
-        jnp.meshgrid(jnp.arange(-r, r + 1, dtype=img.dtype),
-                     jnp.arange(-r, r + 1, dtype=img.dtype), indexing="xy"),
-        axis=-1,
-    ).reshape(-1, 2)
-    # cornerSubPix weighting mask (gaussian-free: OpenCV uses uniform + taper;
-    # use uniform here)
+    w = 2 * r + 1
+    N = xy.shape[0]
+    dtype = img.dtype
 
-    def refine_one(p0):
-        def body(_, p):
-            pts = p[None, :] + offs
-            # central-difference gradients at sample points
-            gx = (bilinear_sample(img, pts + jnp.asarray([1.0, 0.0], img.dtype))
-                  - bilinear_sample(img, pts - jnp.asarray([1.0, 0.0], img.dtype))) * 0.5
-            gy = (bilinear_sample(img, pts + jnp.asarray([0.0, 1.0], img.dtype))
-                  - bilinear_sample(img, pts - jnp.asarray([0.0, 1.0], img.dtype))) * 0.5
-            gxx = jnp.sum(gx * gx)
-            gyy = jnp.sum(gy * gy)
-            gxy = jnp.sum(gx * gy)
-            bx = jnp.sum(gx * gx * pts[:, 0] + gx * gy * pts[:, 1])
-            by = jnp.sum(gx * gy * pts[:, 0] + gy * gy * pts[:, 1])
-            det = gxx * gyy - gxy * gxy
-            ok = jnp.abs(det) > 1e-12
-            safe_det = jnp.where(ok, det, 1.0)
-            nx = (gyy * bx - gxy * by) / safe_det
-            ny = (-gxy * bx + gxx * by) / safe_det
-            return jnp.where(ok, jnp.stack([nx, ny]), p)
+    gx_img = jnp.zeros_like(img).at[:, 1:-1].set((img[:, 2:] - img[:, :-2]) * 0.5)
+    gy_img = jnp.zeros_like(img).at[1:-1, :].set((img[2:, :] - img[:-2, :]) * 0.5)
 
-        p = jax.lax.fori_loop(0, iters, body, p0)
-        in_bounds = (p[0] >= 0) & (p[0] < W) & (p[1] >= 0) & (p[1] < H)
-        moved_ok = jnp.linalg.norm(p - p0) < 2.0 * window
-        return jnp.where(in_bounds & moved_ok, p, p0)
+    # one patch per corner, large enough for the refinement drift (< window)
+    ps = 2 * w + 3
+    gxp, c = _gather_patches(gx_img, xy, ps)
+    gyp, _ = _gather_patches(gy_img, xy, ps)
 
-    return jax.vmap(refine_one)(xy)
+    ax = jnp.arange(-r, r + 1, dtype=dtype)
+    ox, oy = jnp.meshgrid(ax, ax, indexing="xy")
+
+    def body(_, p):
+        gx = _window_shift_sample(gxp, c, p, w, ps)  # (N,w,w)
+        gy = _window_shift_sample(gyp, c, p, w, ps)
+        px = p[:, 0][:, None, None] + ox[None]
+        py = p[:, 1][:, None, None] + oy[None]
+        gxx = jnp.sum(gx * gx, axis=(1, 2))
+        gyy = jnp.sum(gy * gy, axis=(1, 2))
+        gxy = jnp.sum(gx * gy, axis=(1, 2))
+        bx = jnp.sum(gx * gx * px + gx * gy * py, axis=(1, 2))
+        by = jnp.sum(gx * gy * px + gy * gy * py, axis=(1, 2))
+        det = gxx * gyy - gxy * gxy
+        ok = jnp.abs(det) > 1e-12
+        safe_det = jnp.where(ok, det, 1.0)
+        nx = (gyy * bx - gxy * by) / safe_det
+        ny = (-gxy * bx + gxx * by) / safe_det
+        return jnp.where(ok[:, None], jnp.stack([nx, ny], axis=1), p)
+
+    p = jax.lax.fori_loop(0, iters, body, xy)
+    in_bounds = (p[:, 0] >= 0) & (p[:, 0] < W) & (p[:, 1] >= 0) & (p[:, 1] < H)
+    moved_ok = jnp.linalg.norm(p - xy, axis=1) < 2.0 * window
+    return jnp.where((in_bounds & moved_ok)[:, None], p, xy)

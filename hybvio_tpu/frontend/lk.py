@@ -81,6 +81,36 @@ def _bilinear_patch(patches_flat, corner, pts, ps: int):
             + v10 * (1 - fx) * fy + v11 * fx * fy)
 
 
+def _window_shift_sample(patches, corner, q, w: int, ps: int):
+    """Sample the RIGID (w x w) window at subpixel center q from per-feature
+    patches via one contiguous dynamic slice + 4-tap fractional blend.
+
+    The window's sample positions form an integer grid offset by a single
+    per-feature subpixel shift, so instead of K arbitrary gathers this is a
+    (w+1, w+1) dynamic_slice (contiguous rows — fast on TPU) and an
+    elementwise blend. patches: (N, ps, ps); corner: (N, 2) origins;
+    q: (N, 2) window centers. Returns (N, w, w).
+    """
+    r = w // 2
+    local = q - corner.astype(q.dtype)
+    # valid slice starts are [0, ps-(w+1)]; x < ps-w guarantees floor(x) fits
+    x = jnp.clip(local[:, 0] - r, 0.0, ps - w - 0.001)
+    y = jnp.clip(local[:, 1] - r, 0.0, ps - w - 0.001)
+    x0 = jnp.floor(x).astype(jnp.int32)
+    y0 = jnp.floor(y).astype(jnp.int32)
+    fx = (x - x0)[:, None, None]
+    fy = (y - y0)[:, None, None]
+
+    def slice_one(patch, yy, xx):
+        return jax.lax.dynamic_slice(patch, (yy, xx), (w + 1, w + 1))
+
+    sub = jax.vmap(slice_one)(patches, y0, x0)  # (N, w+1, w+1)
+    return (sub[:, :-1, :-1] * (1 - fx) * (1 - fy)
+            + sub[:, :-1, 1:] * fx * (1 - fy)
+            + sub[:, 1:, :-1] * (1 - fx) * fy
+            + sub[:, 1:, 1:] * fx * fy)
+
+
 def lk_track_level(
     prev_img, prev_ix, prev_iy, cur_img, prev_pts, guesses, params: LKParams
 ):
@@ -107,13 +137,9 @@ def lk_track_level(
     tp, tc = _gather_patches(prev_img, prev_pts, ps_t)
     xp, _ = _gather_patches(prev_ix, prev_pts, ps_t)
     yp, _ = _gather_patches(prev_iy, prev_pts, ps_t)
-    tpf = tp.reshape(N, -1)
-    xpf = xp.reshape(N, -1)
-    ypf = yp.reshape(N, -1)
-    tpts = prev_pts[:, None, :] + offs[None, :, :]
-    t = _bilinear_patch(tpf, tc, tpts, ps_t)  # (N,K)
-    ix = _bilinear_patch(xpf, tc, tpts, ps_t)
-    iy = _bilinear_patch(ypf, tc, tpts, ps_t)
+    t = _window_shift_sample(tp, tc, prev_pts, w, ps_t).reshape(N, -1)
+    ix = _window_shift_sample(xp, tc, prev_pts, w, ps_t).reshape(N, -1)
+    iy = _window_shift_sample(yp, tc, prev_pts, w, ps_t).reshape(N, -1)
 
     gxx = jnp.sum(ix * ix, axis=1)
     gyy = jnp.sum(iy * iy, axis=1)
@@ -132,12 +158,10 @@ def lk_track_level(
     margin = 8
     ps_c = w + 2 * margin + 3
     cp, cc = _gather_patches(cur_img, guesses, ps_c)
-    cpf = cp.reshape(N, -1)
 
     def body(_, carry):
         q, done = carry
-        pts = q[:, None, :] + offs[None, :, :]
-        wv = _bilinear_patch(cpf, cc, pts, ps_c)  # (N,K)
+        wv = _window_shift_sample(cp, cc, q, w, ps_c).reshape(N, -1)
         di = wv - t
         bx = jnp.sum(di * ix, axis=1)
         by = jnp.sum(di * iy, axis=1)
@@ -164,7 +188,7 @@ def lk_track_level(
     # freezes at the initial guess (cv::calcOpticalFlowPyrLK has no such
     # check; the reference relies on downstream RANSAC, but a frozen *set* of
     # points forms a false consensus there)
-    w_final = _bilinear_patch(cpf, cc, q[:, None, :] + offs[None, :, :], ps_c)
+    w_final = _window_shift_sample(cp, cc, q, w, ps_c).reshape(N, -1)
     resid = jnp.mean(jnp.abs(w_final - t), axis=1)
     contrast = jnp.maximum(jnp.max(t, axis=1) - jnp.min(t, axis=1), 1e-6)
     ok_resid = resid <= jnp.maximum(0.25 * contrast, 0.02)
