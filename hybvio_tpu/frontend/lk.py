@@ -159,8 +159,12 @@ def lk_track_level(
     ps_c = w + 2 * margin + 3
     cp, cc = _gather_patches(cur_img, guesses, ps_c)
 
-    def body(_, carry):
-        q, done = carry
+    def cond(carry):
+        q, done, it = carry
+        return (it < params.max_iter) & ~jnp.all(done)
+
+    def body(carry):
+        q, done, it = carry
         wv = _window_shift_sample(cp, cc, q, w, ps_c).reshape(N, -1)
         di = wv - t
         bx = jnp.sum(di * ix, axis=1)
@@ -170,9 +174,13 @@ def lk_track_level(
         delta = jnp.stack([dx, dy], axis=1)
         converged = jnp.sum(delta * delta, axis=1) < params.epsilon**2
         q_new = jnp.where(done[:, None], q, q - delta)
-        return (q_new, done | converged)
+        return (q_new, done | converged, it + 1)
 
-    q, _ = jax.lax.fori_loop(0, params.max_iter, body, (guesses, ~ok_g))
+    # while_loop with an all-converged early exit: with odometry-predicted
+    # guesses most features converge in a few iterations, so the average trip
+    # count is far below pyrLKMaxIter (matching OpenCV's epsilon exit)
+    q, _, _ = jax.lax.while_loop(
+        cond, body, (guesses, ~ok_g, jnp.zeros((), jnp.int32)))
 
     # fail if the track left its sampling patch (would have clamped)
     local = q - cc.astype(dtype)
