@@ -148,9 +148,12 @@ def ransac5(
     A = jnp.einsum("kni,knj->knij", a2, a1).reshape(max_iters, 8, 9)
 
     def solve_one(Ak):
-        # smallest right singular vector of the 8x9 system
-        _, _, Vt = jnp.linalg.svd(Ak, full_matrices=True)
-        E = Vt[-1].reshape(3, 3)
+        # smallest right singular vector of the 8x9 system == smallest
+        # eigenvector of A^T A (9x9 symmetric eigendecomposition vmaps much
+        # cheaper than the full SVD on TPU)
+        AtA = Ak.T @ Ak
+        _, V = jnp.linalg.eigh(AtA)
+        E = V[:, 0].reshape(3, 3)
         # project to the essential manifold (rank 2, equal singular values)
         U, s, Vt2 = jnp.linalg.svd(E)
         E = U @ jnp.diag(jnp.asarray([1.0, 1.0, 0.0], dtype)) @ Vt2
