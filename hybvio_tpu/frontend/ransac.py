@@ -338,3 +338,111 @@ def ransac3(
     inl = inl & ok
     return Ransac3Result(R=R_f, t=t_f, inliers=inl,
                          inlier_count=jnp.sum(inl).astype(jnp.int32), ok=ok)
+
+
+class UprightRansacResult(NamedTuple):
+    yaw: jnp.ndarray  # ()
+    t: jnp.ndarray  # (3,)
+    inliers: jnp.ndarray  # (T,)
+    inlier_count: jnp.ndarray  # () int32
+    ok: jnp.ndarray
+
+
+def _solve_upright_2p(p1, p2, d1, d2, dtype):
+    """Closed-form gravity-aligned 2-point pose: find yaw about +z and t with
+    Rz(yaw) p_i + t = s_i d_i (reference: stereo_upright_2p.cpp wrapping Theia
+    TwoPointPosePartialRotation about axis (0,0,1)).
+
+    Eliminating t: Rz(yaw)(p2-p1) = s2 d2 - s1 d1. The z row is linear in
+    (s1, s2); the xy-norm gives a quadratic; yaw follows from the xy parts.
+    Returns (yaw (2,), t (2,3), valid (2,)) for the two quadratic roots.
+    """
+    v = p2 - p1
+    vz = v[2]
+    vxy2 = v[0] * v[0] + v[1] * v[1]
+    # s2 * d2z - s1 * d1z = vz  ->  parametrize s2 = (vz + s1 d1z) / d2z
+    d2z = jnp.where(jnp.abs(d2[2]) > 1e-9, d2[2], 1e-9)
+    # |s2 d2xy - s1 d1xy|^2 = vxy2: quadratic a s1^2 + b s1 + c = 0
+    # with s2 = alpha + beta s1, alpha = vz/d2z, beta = d1z/d2z
+    alpha = v[2] / d2z
+    beta = d1[2] / d2z
+    exy = lambda w: jnp.asarray([w[0], w[1]], dtype)
+    d1xy = exy(d1)
+    d2xy = exy(d2)
+    u = alpha * d2xy  # constant part of (s2 d2 - s1 d1)_xy
+    w = beta * d2xy - d1xy  # s1 coefficient
+    a = jnp.dot(w, w)
+    b = 2 * jnp.dot(u, w)
+    c = jnp.dot(u, u) - vxy2
+    disc = b * b - 4 * a * c
+    valid = (disc >= 0) & (jnp.abs(a) > 1e-12)
+    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+    s1s = jnp.stack([(-b + sq), (-b - sq)]) / (2 * jnp.where(jnp.abs(a) > 1e-12, a, 1.0))
+    s2s = alpha + beta * s1s
+
+    def yaw_t(s1, s2):
+        rhs = s2 * d2 - s1 * d1  # = Rz(yaw) v
+        yaw = jnp.arctan2(rhs[1], rhs[0]) - jnp.arctan2(v[1], v[0])
+        cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+        Rz = jnp.asarray([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]], dtype)
+        t = s1 * d1 - Rz @ p1
+        return yaw, t
+
+    yaws, ts = jax.vmap(yaw_t)(s1s, s2s)
+    return yaws, ts, valid & (s1s > 0) & (s2s > 0)
+
+
+def stereo_upright_2p(
+    prev_pts3d: jnp.ndarray,
+    cur_rays: jnp.ndarray,
+    valid: jnp.ndarray,
+    rng_key,
+    error_thresh: float = 1e-4,
+    max_iters: int = 128,
+) -> UprightRansacResult:
+    """Gravity-aligned 2-point pose RANSAC (reference: stereo_upright_2p.cpp):
+    previous-frame stereo-triangulated 3D points (GRAVITY-ALIGNED coordinates,
+    z = gravity axis) vs current bearing rays; solves yaw + translation.
+
+    Inlier metric: squared normalized reprojection error of Rz p + t against
+    the current ray's normalized point."""
+    dtype = prev_pts3d.dtype
+    T = prev_pts3d.shape[0]
+    n = jnp.sum(valid)
+    order = jnp.argsort(~valid, stable=True)
+    k1, _ = jax.random.split(rng_key)
+    idx = jax.random.randint(k1, (max_iters, 2), 0, jnp.maximum(n, 1))
+    slots = order[idx]
+
+    cur_norm = cur_rays[:, :2] / jnp.where(
+        jnp.abs(cur_rays[:, 2:3]) > 1e-9, cur_rays[:, 2:3], 1e-9)
+
+    def hypo(sl):
+        yaws, ts, ok = _solve_upright_2p(
+            prev_pts3d[sl[0]], prev_pts3d[sl[1]],
+            cur_rays[sl[0]], cur_rays[sl[1]], dtype)
+
+        def count(yaw, t, okk):
+            cy, sy = jnp.cos(yaw), jnp.sin(yaw)
+            Rz = jnp.asarray([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]], dtype)
+            p = prev_pts3d @ Rz.T + t
+            z = p[:, 2]
+            okz = z > 1e-6
+            proj = p[:, :2] / jnp.where(okz, z, 1.0)[:, None]
+            e2 = jnp.sum((proj - cur_norm) ** 2, axis=1)
+            inl = valid & okz & (e2 < error_thresh)
+            return jnp.where(okk, jnp.sum(inl), -1), inl
+
+        counts, inls = jax.vmap(count)(yaws, ts, ok)
+        best = jnp.argmax(counts)
+        return counts[best], inls[best], yaws[best], ts[best]
+
+    counts, inls, yaws, ts = jax.vmap(hypo)(slots)
+    distinct = slots[:, 0] != slots[:, 1]
+    counts = jnp.where(distinct, counts, -1)
+    best = jnp.argmax(counts)
+    ok = n >= 2
+    inl = inls[best] & ok
+    return UprightRansacResult(
+        yaw=yaws[best], t=ts[best], inliers=inl,
+        inlier_count=jnp.sum(inl).astype(jnp.int32), ok=ok)

@@ -158,3 +158,29 @@ def test_ransac2_pure_rotation_with_outliers():
     err = min(np.abs(np.asarray(res.R) - R_true).max(),
               np.abs(np.asarray(res.R) - R_true.T).max())
     assert err < 0.01
+
+
+def test_stereo_upright_2p():
+    """Gravity-aligned 2-point pose RANSAC: recover yaw + translation."""
+    from hybvio_tpu.frontend.ransac import stereo_upright_2p
+
+    rng = np.random.RandomState(7)
+    T = 30
+    pts = np.stack([rng.randn(T) * 2, rng.randn(T) * 2, 4 + 2 * rng.rand(T)], axis=1)
+    yaw_true = 0.15
+    t_true = np.array([0.2, -0.1, 0.05])
+    c, s = np.cos(yaw_true), np.sin(yaw_true)
+    Rz = np.array([[c, -s, 0], [s, c, 0], [0, 0, 1.0]])
+    cur = pts @ Rz.T + t_true
+    rays = cur / np.linalg.norm(cur, axis=1, keepdims=True)
+    # outliers
+    out = rng.rand(T) < 0.2
+    rays[out] += rng.randn(out.sum(), 3) * 0.2
+    res = stereo_upright_2p(jnp.asarray(pts), jnp.asarray(rays),
+                            jnp.ones(T, bool), jax.random.PRNGKey(1),
+                            error_thresh=1e-5)
+    assert abs(float(res.yaw) - yaw_true) % (2 * np.pi) < 0.01
+    np.testing.assert_allclose(np.asarray(res.t), t_true, atol=0.02)
+    inl = np.asarray(res.inliers)
+    assert inl[~out].mean() > 0.9
+    assert inl[out].mean() < 0.3
