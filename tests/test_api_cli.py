@@ -97,3 +97,20 @@ def test_api_end_to_end(dataset):
     j = json.loads(outputs[-1].as_json())
     assert set(j) >= {"time", "position", "orientation", "velocity"}
     assert set(j["orientation"]) == {"w", "x", "y", "z"}
+
+
+@pytest.mark.slow
+def test_cli_runner(dataset, tmp_path):
+    """The offline CLI runner end to end (in-process; reference `main` flags)."""
+    from hybvio_tpu.cli.main import run
+
+    out_path = str(tmp_path / "out.jsonl")
+    rc = run([f"-i={dataset}", f"-o={out_path}", "-maxFrames=25",
+              "-visualR=0.3", "-cameraTrailLength=6", "-maxTracks=32",
+              "-pyrLKWindowSize=13", "-pyrLKMaxLevel=2", "-gfttMinDistance=30",
+              "-focalLength=260", "-principalPointX=160", "-principalPointY=120",
+              "-outputJsonExtras"])
+    assert rc == 0
+    lines = [json.loads(l) for l in open(out_path)]
+    assert len(lines) >= 15
+    assert set(lines[-1]) >= {"time", "position", "orientation", "velocity", "status"}
