@@ -150,14 +150,12 @@ def ransac5(
     def solve_one(Ak):
         # smallest right singular vector of the 8x9 system == smallest
         # eigenvector of A^T A (9x9 symmetric eigendecomposition vmaps much
-        # cheaper than the full SVD on TPU)
+        # cheaper than the full SVD on TPU). The essential-manifold projection
+        # is deferred to the winning hypothesis only: Sampson scoring with the
+        # raw null vector ranks hypotheses nearly identically.
         AtA = Ak.T @ Ak
         _, V = jnp.linalg.eigh(AtA)
-        E = V[:, 0].reshape(3, 3)
-        # project to the essential manifold (rank 2, equal singular values)
-        U, s, Vt2 = jnp.linalg.svd(E)
-        E = U @ jnp.diag(jnp.asarray([1.0, 1.0, 0.0], dtype)) @ Vt2
-        return E
+        return V[:, 0].reshape(3, 3)
 
     Es = jax.vmap(solve_one)(A)  # (K,3,3)
 
@@ -180,8 +178,10 @@ def ransac5(
     okh = jax.vmap(distinct_ok)(slots)
     counts = jnp.where(okh, counts, -1)
     best = jnp.argmax(counts)
-    E_best = Es[best]
-    inl = inl_all[best]
+    # project the winner onto the essential manifold and re-score
+    U, _, Vt2 = jnp.linalg.svd(Es[best])
+    E_best = U @ jnp.diag(jnp.asarray([1.0, 1.0, 0.0], dtype)) @ Vt2
+    inl = sampson_inliers(E_best)
     ok = n_tracked >= 8
     inl = inl & ok
     return Ransac5Result(E=E_best, inliers=inl,
