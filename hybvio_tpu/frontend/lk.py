@@ -92,23 +92,27 @@ def _window_shift_sample(patches, corner, q, w: int, ps: int):
     q: (N, 2) window centers. Returns (N, w, w).
     """
     r = w // 2
-    local = q - corner.astype(q.dtype)
-    # valid slice starts are [0, ps-(w+1)]; x < ps-w guarantees floor(x) fits
+    dtype = q.dtype
+    local = q - corner.astype(dtype)
+    # valid shifts keep the (w+1) support inside the patch
     x = jnp.clip(local[:, 0] - r, 0.0, ps - w - 0.001)
     y = jnp.clip(local[:, 1] - r, 0.0, ps - w - 0.001)
-    x0 = jnp.floor(x).astype(jnp.int32)
-    y0 = jnp.floor(y).astype(jnp.int32)
-    fx = (x - x0)[:, None, None]
-    fy = (y - y0)[:, None, None]
 
-    def slice_one(patch, yy, xx):
-        return jax.lax.dynamic_slice(patch, (yy, xx), (w + 1, w + 1))
+    # bilinear SELECTION MATRICES: window = Sy @ patch @ Sx^T with
+    # Sy[j, y0+j] = 1-fy, Sy[j, y0+j+1] = fy. Two batched matmuls on the MXU
+    # replace per-lane indexed addressing entirely (TPUs hate gathers).
+    rows = jax.lax.broadcasted_iota(jnp.int32, (w, ps), 0).astype(dtype)  # j
+    cols = jax.lax.broadcasted_iota(jnp.int32, (w, ps), 1).astype(dtype)  # p
 
-    sub = jax.vmap(slice_one)(patches, y0, x0)  # (N, w+1, w+1)
-    return (sub[:, :-1, :-1] * (1 - fx) * (1 - fy)
-            + sub[:, :-1, 1:] * fx * (1 - fy)
-            + sub[:, 1:, :-1] * (1 - fx) * fy
-            + sub[:, 1:, 1:] * fx * fy)
+    def sel(shift):
+        # shift: (N,) fractional start; S: (N, w, ps)
+        d = cols[None] - rows[None] - shift[:, None, None]  # p - j - shift
+        return jnp.maximum(0.0, 1.0 - jnp.abs(d))  # tent = bilinear weights
+
+    Sy = sel(y)
+    Sx = sel(x)
+    return jnp.einsum("nwp,npq,nvq->nwv", Sy, patches, Sx,
+                      preferred_element_type=dtype)
 
 
 def lk_track_level(

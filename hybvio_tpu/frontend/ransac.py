@@ -147,17 +147,22 @@ def ransac5(
     a2 = h2[slots]
     A = jnp.einsum("kni,knj->knij", a2, a1).reshape(max_iters, 8, 9)
 
-    def solve_one(Ak):
-        # smallest right singular vector of the 8x9 system == smallest
-        # eigenvector of A^T A (9x9 symmetric eigendecomposition vmaps much
-        # cheaper than the full SVD on TPU). The essential-manifold projection
-        # is deferred to the winning hypothesis only: Sampson scoring with the
-        # raw null vector ranks hypotheses nearly identically.
-        AtA = Ak.T @ Ak
-        _, V = jnp.linalg.eigh(AtA)
-        return V[:, 0].reshape(3, 3)
+    # smallest right singular vector of each 8x9 system == smallest
+    # eigenvector of A^T A. Computed by POWER ITERATION on (tr I - A^T A)
+    # (PSD, largest eigenvector == wanted nullspace direction): K batched
+    # 9x9 matvecs per sweep — pure MXU work, no per-matrix eigh/SVD.
+    AtA = jnp.einsum("kni,knj->kij", A.reshape(max_iters, 8, 9),
+                     A.reshape(max_iters, 8, 9))
+    tr = jnp.trace(AtA, axis1=1, axis2=2)
+    Bm = tr[:, None, None] * jnp.eye(9, dtype=dtype)[None] - AtA
 
-    Es = jax.vmap(solve_one)(A)  # (K,3,3)
+    def pow_body(_, v):
+        v = jnp.einsum("kij,kj->ki", Bm, v)
+        return v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-30)
+
+    v0 = jnp.ones((max_iters, 9), dtype) / 3.0
+    v = jax.lax.fori_loop(0, 30, pow_body, v0)
+    Es = v.reshape(max_iters, 3, 3)
 
     thr2 = threshold * threshold
 
