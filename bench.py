@@ -11,7 +11,7 @@ Modes (env BENCH_MODE):
     (BASELINE.json config 5); reports AGGREGATE frames/sec/chip.
   single: one sequence; reports per-frame latency FPS.
 
-Env: BENCH_FRAMES (default 300), BENCH_BATCH (default 8).
+Env: BENCH_FRAMES (default 300), BENCH_BATCH (default 16).
 Runs on whatever jax.default_backend() provides (the TPU chip under the
 driver; CPU locally with JAX_PLATFORMS=cpu). Uses float32 on device.
 """
@@ -53,7 +53,7 @@ def main():
     FX = FY = 458.0
     n_frames = int(os.environ.get("BENCH_FRAMES", "300"))
     mode = os.environ.get("BENCH_MODE", "batched")
-    B = int(os.environ.get("BENCH_BATCH", "8"))
+    B = int(os.environ.get("BENCH_BATCH", "16"))
     duration = n_frames / 20.0
     dtype = jnp.float32
 

@@ -131,3 +131,30 @@ def render_correlation(P: np.ndarray) -> np.ndarray:
     img[..., 2] = np.clip(-C, 0, 1)
     img[..., 1] = 0.15
     return img
+
+
+def render_imu_plot(gyro_samples: np.ndarray, acc_samples: np.ndarray,
+                    width: int = 512, height: int = 256) -> np.ndarray:
+    """Scrolling gyro/acc sample plot (reference:
+    src/commandline/imu_visualization.hpp): two stacked panels, one polyline
+    per axis, latest samples on the right. Inputs: (N, 3) arrays of the most
+    recent samples (any N; resampled to the panel width)."""
+    img = np.zeros((height, width, 3), np.float32)
+    half = height // 2
+    panels = [(np.asarray(gyro_samples, float), 0),
+              (np.asarray(acc_samples, float), half)]
+    colors = [(1.0, 0.3, 0.3), (0.3, 1.0, 0.3), (0.4, 0.5, 1.0)]
+    for samples, y0 in panels:
+        if samples.size == 0:
+            continue
+        n = samples.shape[0]
+        lo = samples.min()
+        hi = samples.max()
+        span = max(hi - lo, 1e-6)
+        xs = np.linspace(0, width - 1, n).astype(int)
+        for axis in range(min(3, samples.shape[1])):
+            ys = y0 + ((hi - samples[:, axis]) / span * (half - 1)).astype(int)
+            for i in range(n - 1):
+                draw_line(img, xs[i], ys[i], xs[i + 1], ys[i + 1], colors[axis])
+        img[y0, :, :] = 0.25
+    return img

@@ -18,13 +18,25 @@ import numpy as np
 from .pyramid import box_filter, sobel_gradients
 
 
+USE_PALLAS = True  # fused kernel on TPU (ops/gftt_pallas.py); XLA elsewhere
+
+
 def corner_response(img: jnp.ndarray, block_size: int = 3) -> jnp.ndarray:
     """Shi-Tomasi min-eigenvalue response (reference: feature_detector.cpp:220-255).
 
     img: (H, W) float intensities in [0, 1]. Response units match the
     reference's (which feeds [0,1]-scaled GL textures): gradients of the
     normalized image, averaged over the block.
+
+    On TPU this dispatches to the fused Pallas kernel (single HBM round
+    trip); the XLA separable-conv path is the reference implementation and
+    the fallback on other backends.
     """
+    if USE_PALLAS and jax.default_backend() == "tpu":
+        from ..ops.gftt_pallas import PALLAS_AVAILABLE, corner_response_pallas
+
+        if PALLAS_AVAILABLE:
+            return corner_response_pallas(img, block_size)
     ix, iy = sobel_gradients(img)
     # normalize Sobel like the reference shaders (1/4 per axis with unit pixel)
     ix = ix * 0.25

@@ -94,14 +94,26 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
         return jnp.maximum(jnp.round(r), 2.0)
 
     def detect(img, existing_xy, existing_valid, mscale, n_out):
-        xy, score, valid = detect_corners(
-            img, n_out, existing_xy, existing_valid,
-            mask_radius=mask_radius(mscale),
-            min_distance=min_distance,
-            block_size=pt.gfttBlockSize,
-            min_response=pt.gfttMinResponse,
-            crop_fraction=pt.partOfImageToDetectFeatures,
-        )
+        if pt.featureDetector.upper() == "FAST":
+            # legacy cv::FAST option (reference: feature_detector_legacy.cpp
+            # :34-60, dispatch feature_detector.cpp:671-675)
+            from .fast import detect_fast
+
+            xy, score, valid = detect_fast(
+                img, n_out, existing_xy, existing_valid,
+                mask_radius=mask_radius(mscale),
+                min_distance=min_distance,
+                threshold=20.0 / 255.0,  # cv::FAST default used by the reference
+            )
+        else:
+            xy, score, valid = detect_corners(
+                img, n_out, existing_xy, existing_valid,
+                mask_radius=mask_radius(mscale),
+                min_distance=min_distance,
+                block_size=pt.gfttBlockSize,
+                min_response=pt.gfttMinResponse,
+                crop_fraction=pt.partOfImageToDetectFeatures,
+            )
         if pt.subPixMaxIter > 0:
             # corner subpixel refinement (reference: subpixel_adjuster.cpp
             # wrapping cv::cornerSubPix, enabled iff subPixMaxIter > 0)

@@ -1,0 +1,38 @@
+"""Pallas kernels match their XLA reference implementations.
+
+Runs the TPU kernels in Pallas interpreter mode on the CPU test backend.
+"""
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from hybvio_tpu.ops.gftt_pallas import PALLAS_AVAILABLE, corner_response_pallas
+from hybvio_tpu.frontend.gftt import corner_response
+
+
+@pytest.mark.skipif(not PALLAS_AVAILABLE, reason="pallas not importable")
+@pytest.mark.parametrize("hw", [(120, 160), (64, 128), (97, 160)])
+def test_corner_response_pallas_matches_xla(hw):
+    h, w = hw
+    rng = np.random.RandomState(0)
+    img = jnp.asarray(rng.rand(h, w).astype(np.float32))
+    ref = np.asarray(corner_response(img))
+    out = np.asarray(corner_response_pallas(img, interpret=True))
+    assert out.shape == ref.shape
+    # interiors match exactly; boundary rows within the stencil radius differ
+    # in padding order and are discarded by the detector's 5-px margin
+    m = 3
+    np.testing.assert_allclose(out[m:-m, m:-m], ref[m:-m, m:-m],
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(not PALLAS_AVAILABLE, reason="pallas not importable")
+def test_corner_response_pallas_block5(hw=(96, 128)):
+    h, w = hw
+    rng = np.random.RandomState(1)
+    img = jnp.asarray(rng.rand(h, w).astype(np.float32))
+    ref = np.asarray(corner_response(img, block_size=5))
+    out = np.asarray(corner_response_pallas(img, block_size=5, interpret=True))
+    m = 4
+    np.testing.assert_allclose(out[m:-m, m:-m], ref[m:-m, m:-m],
+                               rtol=1e-4, atol=1e-5)
