@@ -265,6 +265,24 @@ class VioApi:
         sel = pc_ids >= 0
         cloud = np.concatenate(
             [pc_ids[sel, None].astype(np.float64), pc[sel]], axis=1) if sel.any() else np.zeros((0, 4))
+        depth = np.asarray(getattr(out, "track_depth", np.zeros(0)))
+        if depth.size and (depth > 0).any():
+            # dense-stereo depth points, world coords (reference: merged point
+            # cloud with PointFeature::Status::STEREO, backend.cpp:1318-1362)
+            import jax.numpy as jnp
+            from ..geometry.poses import to_camera_to_world
+
+            dsel = (depth > 0) & (np.asarray(out.track_ids) >= 0)
+            norm = np.asarray(out.track_norm)[dsel]
+            z = depth[dsel][:, None]
+            p_cam = np.concatenate([norm * z, z], axis=1)
+            c2w = np.asarray(to_camera_to_world(
+                jnp.asarray(out.position), jnp.asarray(out.orientation),
+                jnp.asarray(self.derived.imu_to_camera)))
+            p_w = p_cam @ c2w[:3, :3].T + c2w[:3, 3]
+            ids = np.asarray(out.track_ids)[dsel][:, None].astype(np.float64)
+            stereo_cloud = np.concatenate([ids, p_w], axis=1)
+            cloud = np.concatenate([cloud, stereo_cloud]) if len(cloud) else stereo_cloud
         trail = np.concatenate([
             np.asarray(out.pose_trail_times)[:, None], np.asarray(out.pose_trail)], axis=1)
         position = np.asarray(out.position)

@@ -404,13 +404,21 @@ def stereo_upright_2p(
     rng_key,
     error_thresh: float = 1e-4,
     max_iters: int = 128,
+    world_to_cam: jnp.ndarray = None,
+    cur_norm: jnp.ndarray = None,
 ) -> UprightRansacResult:
     """Gravity-aligned 2-point pose RANSAC (reference: stereo_upright_2p.cpp):
-    previous-frame stereo-triangulated 3D points (GRAVITY-ALIGNED coordinates,
-    z = gravity axis) vs current bearing rays; solves yaw + translation.
+    previous-frame stereo-triangulated 3D points (GRAVITY-ALIGNED world
+    coordinates, z = gravity axis) vs current bearing rays (same world
+    coordinates); solves yaw + translation.
 
     Inlier metric: squared normalized reprojection error of Rz p + t against
-    the current ray's normalized point."""
+    the current ray's normalized point. When world_to_cam (the current
+    frame's 3x3 world-to-camera rotation) and cur_norm (the raw normalized
+    current pixels) are given, the error is evaluated in the current CAMERA
+    frame exactly like the reference (stereo_upright_2p.cpp:72-81
+    UprightEstimator::Error with worldToCamera = R1^-1); otherwise the world
+    frame doubles as the camera frame."""
     dtype = prev_pts3d.dtype
     T = prev_pts3d.shape[0]
     n = jnp.sum(valid)
@@ -419,8 +427,9 @@ def stereo_upright_2p(
     idx = jax.random.randint(k1, (max_iters, 2), 0, jnp.maximum(n, 1))
     slots = order[idx]
 
-    cur_norm = cur_rays[:, :2] / jnp.where(
-        jnp.abs(cur_rays[:, 2:3]) > 1e-9, cur_rays[:, 2:3], 1e-9)
+    if cur_norm is None:
+        cur_norm = cur_rays[:, :2] / jnp.where(
+            jnp.abs(cur_rays[:, 2:3]) > 1e-9, cur_rays[:, 2:3], 1e-9)
 
     def hypo(sl):
         yaws, ts, ok = _solve_upright_2p(
@@ -431,6 +440,8 @@ def stereo_upright_2p(
             cy, sy = jnp.cos(yaw), jnp.sin(yaw)
             Rz = jnp.asarray([[cy, -sy, 0], [sy, cy, 0], [0, 0, 1]], dtype)
             p = prev_pts3d @ Rz.T + t
+            if world_to_cam is not None:
+                p = p @ world_to_cam.T
             z = p[:, 2]
             okz = z > 1e-6
             proj = p[:, :2] / jnp.where(okz, z, 1.0)[:, None]

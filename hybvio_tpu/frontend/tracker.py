@@ -167,7 +167,7 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
 
     def track_frame(ts: TrackerState, image, rng_key, t,
                     flow_guess=None, blacklist_flags=None, blacklist_ids=None,
-                    second_image=None, stereo_guess=None):
+                    second_image=None, stereo_guess=None, pose_rot=None):
         """Process one new frame; returns (new_state, TrackerOutput)."""
         img = jnp.asarray(image, dtype=dtype)
         cur_pyr = build_pyramid(img, lk_params.max_level)
@@ -243,6 +243,43 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
             r3_good = r3.ok & (frac3 >= pt.ransacMinInlierFraction)
             ransac_inliers = jnp.where(r3_good, r3.inliers, ransac_inliers)
             ransac_skipped = jnp.where(r3_good, False, ransac_skipped)
+        elif use_stereo and pt.useStereoUpright2p and pose_rot is not None:
+            # gravity-aligned 2-point pose (reference: ransac_pipeline.cpp
+            # :124-127 dispatch, stereo_upright_2p.cpp:119-166): model points
+            # = previous stereo triangulations rotated to world by R0; rays =
+            # current left-camera bearings rotated by R1; inlier error in the
+            # current camera frame
+            from functools import partial as _partial
+
+            from ..odometry.triangulation import triangulate_stereo_idp
+            from .ransac import stereo_upright_2p
+
+            R0, R1 = pose_rot  # camera-to-world rotations (prev, cur)
+            R0 = R0.astype(img.dtype)
+            R1 = R1.astype(img.dtype)
+            rng_key, up_key = jax.random.split(rng_key)
+            n1r, ok1r = _norm_px(cam1, ts.px[:, 1, :])
+            s2f = jnp.linalg.inv(cam0_to_cam1)
+            tri = jax.vmap(_partial(triangulate_stereo_idp, with_cov=False),
+                           in_axes=(0, 0, None))
+            idp_prev, _, okt1 = tri(n1, n1r, s2f)
+            okd = idp_prev[:, 2] > 1e-4
+            z = 1.0 / jnp.where(okd, idp_prev[:, 2], 1.0)
+            p_cam = jnp.stack(
+                [idp_prev[:, 0] * z, idp_prev[:, 1] * z, z], axis=1)
+            rays_cam = jnp.concatenate(
+                [n2, jnp.ones((T, 1), img.dtype)], axis=1)
+            rays_cam = rays_cam / jnp.linalg.norm(rays_cam, axis=1, keepdims=True)
+            v_up = valid_n & ok1r & okt1 & okd
+            up = stereo_upright_2p(
+                p_cam @ R0.T, rays_cam @ R1.T, v_up, up_key,
+                error_thresh=pt.ransacStereoUpright2pErrorThresh,
+                world_to_cam=R1.T, cur_norm=n2)
+            frac_up = up.inlier_count / jnp.maximum(
+                jnp.sum(valid_n), 1).astype(img.dtype)
+            up_good = up.ok & (frac_up >= pt.ransacMinInlierFraction)
+            ransac_inliers = jnp.where(up_good, up.inliers, ransac_inliers)
+            ransac_skipped = jnp.where(up_good, False, ransac_skipped)
         inlier = tracked & ransac_inliers
         # RANSAC skipped entirely -> all tracks become outliers (reference:
         # ransac_pipeline.cpp:139-147), except during bootstrap (<2 tracks)

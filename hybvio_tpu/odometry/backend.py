@@ -111,6 +111,7 @@ class FrameOutput(NamedTuple):
     keyframe: jnp.ndarray  # () bool (tracker decision, for SLAM cadence)
     track_ids: jnp.ndarray  # (T,) current tracked ids (for SLAM features)
     track_norm: jnp.ndarray  # (T, 2) normalized left-camera points
+    track_depth: jnp.ndarray  # (T,) dense stereo z-depth in cam0, -1 = none
 
 
 def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
@@ -657,6 +658,7 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             keyframe=keyframe,
             track_ids=state.trail.kf_track_id[1],
             track_norm=state.trail.kf_norm[1, :, 0, :],
+            track_depth=tracker_in.stereo_depth,
         )
         return state, out
 

@@ -48,6 +48,37 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=jnp.float64,
     tracker_init, track_frame = make_tracker(
         params, cameras, max_tracks=T, dtype=image_dtype, derived=derived)
 
+    dense_depth = use_stereo and bool(pt.computeDenseStereoDepth)
+    if dense_depth:
+        # dense stereo depth attach (reference: Tracker::computeDenseStereoDepth,
+        # tracker.cpp:784-796 — requires rectification): rectify both images,
+        # block-matching disparity, Q-matrix depth sampled at track pixels
+        from ..frontend.disparity import (compute_disparity,
+                                          default_max_disparity,
+                                          disparity_to_depth, sample_depth)
+        from ..frontend.rectify import build_remap, remap, stereo_rectify
+
+        img_w = int(np.asarray(cam0.width))
+        img_h = int(np.asarray(cam0.height))
+        rc0, rc1, Q_depth, _, _ = stereo_rectify(
+            cameras[0], cameras[1], np.asarray(derived.imu_to_camera),
+            np.asarray(derived.second_imu_to_camera), img_w, img_h,
+            dtype=image_dtype)
+        remap0 = build_remap(cameras[0], rc0, img_w, img_h)
+        remap1 = build_remap(cameras[1], rc1, img_w, img_h)
+        max_disp = default_max_disparity(img_w)
+
+        def track_dense_depth(image, second_image, pixels, valid):
+            rl = remap(jnp.asarray(image, image_dtype), remap0)
+            rr = remap(jnp.asarray(second_image, image_dtype), remap1)
+            disp, dvalid = compute_disparity(rl, rr, max_disp)
+            depth, dok = disparity_to_depth(disp, dvalid, Q_depth)
+            # track pixels live in the unrectified cam0; map to rectified
+            rays, ok_r = pixel_to_ray(cam0, pixels.astype(image_dtype))
+            rpix, ok_p = ray_to_pixel(rc0, rays)
+            d = sample_depth(depth, dok, rpix)
+            return jnp.where(valid & ok_r & ok_p, d, -1.0).astype(dtype)
+
     def init_fn(first_image, t0=0.0, rng_key=None, second_image=None) -> VioState:
         if use_stereo and second_image is None and isinstance(first_image, (tuple, list)):
             first_image, second_image = first_image
@@ -113,18 +144,34 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=jnp.float64,
 
         rng, tkey = jax.random.split(bstate.rng)
         bstate = bstate._replace(rng=rng)
+        pose_rot = None
+        if use_stereo and pt.useStereoUpright2p and not pt.useRansac3:
+            # camera-to-world rotations for the upright-2p RANSAC (reference:
+            # ransac pipeline receives odometry poses, tracker.hpp / backend
+            # applyTracker): prev = trail head pose, cur = current EKF pose
+            m = bstate.ekf.m
+            c2w_prev = to_camera_to_world(
+                m[CAM:CAM + 3], m[CAM + 3:CAM + POSE_DIM], i2c)
+            c2w_cur = to_camera_to_world(m[POS:POS + 3], m[ORI:ORI + 4], i2c)
+            pose_rot = (c2w_prev[:3, :3], c2w_cur[:3, :3])
         tstate, tout = track_frame(
             state.tracker, image, tkey, imu.t[-1],
             flow_guess=guess,
             blacklist_flags=bstate.blacklist_flags,
             blacklist_ids=bstate.blacklist_ids,
             second_image=second_image,
+            pose_rot=pose_rot,
         )
+        if dense_depth:
+            depths = track_dense_depth(
+                image, second_image, tout.pixels[:, 0, :], tout.track_ids >= 0)
+        else:
+            depths = jnp.full((T,), -1.0, dtype)
         tin = TrackerInput(
             track_ids=tout.track_ids,
             pixels=tout.pixels.astype(dtype),
             keyframe=tout.keyframe,
-            stereo_depth=jnp.full((T,), -1.0, dtype),
+            stereo_depth=depths,
         )
         bstate, out = frame_step.process_frame(bstate, tin)
         return VioState(backend=bstate, tracker=tstate, tracker_ready=state.tracker_ready), out
