@@ -92,7 +92,8 @@ def detect_fast(img: jnp.ndarray, n_out: int, existing_xy: jnp.ndarray,
         take = cand_ok[i] & ~near_sel
         return selected.at[i].set(take), take
 
-    _, taken = jax.lax.scan(body, jnp.zeros((k,), bool), jnp.arange(k))
+    _, taken = jax.lax.scan(body, jnp.zeros((k,), bool), jnp.arange(k),
+                            unroll=16)
     order = jnp.argsort(~taken, stable=True)
     out_idx = order[:n_out]
     return top_xy[out_idx], top_scores[out_idx], taken[out_idx]

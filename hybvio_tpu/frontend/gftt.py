@@ -130,7 +130,9 @@ def detect_corners(
         return selected.at[i].set(take), take
 
     selected0 = jnp.zeros((k,), bool)
-    _, taken = jax.lax.scan(body, selected0, jnp.arange(k))
+    # unroll: the greedy pass is inherently sequential; unrolling fuses many
+    # tiny TPU loop iterations into fewer launches
+    _, taken = jax.lax.scan(body, selected0, jnp.arange(k), unroll=16)
 
     # compact the first n_out taken candidates
     order = jnp.argsort(~taken, stable=True)  # taken first, in response order

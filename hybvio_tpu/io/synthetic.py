@@ -193,7 +193,15 @@ class PerfectTracker:
         self.slot_id = np.full(max_tracks, -1, dtype=np.int64)
         self.next_id = 1
         self.noise = pixel_noise
+        self._seed = seed
         self.rng = np.random.RandomState(seed)
+
+    def reset(self):
+        """Restore the initial state (same seed => identical replay)."""
+        self.slot_landmark = np.full(self.T, -1, dtype=np.int64)
+        self.slot_id = np.full(self.T, -1, dtype=np.int64)
+        self.next_id = 1
+        self.rng = np.random.RandomState(self._seed)
 
     def track(self, frame_idx: int):
         """Returns (track_ids (T,), pixels (T,C,2), keyframe bool)."""
