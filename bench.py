@@ -34,10 +34,11 @@ def main():
     except Exception:
         pass
 
-    # EKF covariance math needs full f32 mantissas: TPU matmuls default to
-    # bfloat16 multiplicands (~8-bit mantissa), which corrupts P and
-    # eventually NaNs the filter. 'highest' = float32 via multi-pass.
-    jax.config.update("jax_default_matmul_precision", "highest")
+    # EKF covariance matmuls carry their own Precision.HIGHEST
+    # (ekf/update.py pdot); the rest (front-end, triangulation jacobians)
+    # runs at 'high' (3-pass bf16 ~ f32): measured same ATE as 'highest',
+    # single-pass bf16 default degraded ATE 10x.
+    jax.config.update("jax_default_matmul_precision", "high")
 
     from hybvio_tpu.config import DerivedParameters, Parameters
     from hybvio_tpu.eval.ate import ate_rmse

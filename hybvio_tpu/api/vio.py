@@ -81,6 +81,17 @@ class VioApi:
         self.debug_api = None  # optional odometry.debug.DebugAPI
         self._lock = threading.Lock()
 
+        # -timer profiling (reference: util/timer.hpp TIME_STATS; enabled by
+        # the CLI -timer flag)
+        from ..utils.timer import TimeStats
+
+        self.time_stats = TimeStats(enabled=False)
+        # pose histories for overlays: method name -> [(t, x, y, z), ...]
+        # (reference: api.cpp:287-305,447-489 ARKit/ARCore/GPS ingestion)
+        self.pose_histories: dict = {}
+        self._gps_converter = None
+        self._frozen: Optional[tuple] = None  # freezeOnFailedTracking
+
         self._state = None
         self._pending_imu: List = []
         self.S = max_imu_per_frame
@@ -124,6 +135,45 @@ class VioApi:
                 self.recorder.frame(t, [first, second])
             self.sample_sync.add_frame(t, first_image=np.asarray(first),
                                        second_image=np.asarray(second))
+
+    def add_echo(self, raw: dict) -> None:
+        """Ingest an auxiliary pose line from the input (groundTruth / ARKit /
+        arcore / realsense / gps / rtkgps; reference: api.cpp:287-305,447-489).
+        Used for pose-plot overlays; GPS is converted WGS84 -> local ENU."""
+        t = raw.get("time", 0.0)
+        for name in ("groundTruth", "ARKit", "arcore", "arengine", "realsense",
+                     "output", "zed"):
+            d = raw.get(name)
+            if isinstance(d, dict) and "position" in d:
+                p = d["position"]
+                self.pose_histories.setdefault(name, []).append(
+                    (t, p.get("x", 0.0), p.get("y", 0.0), p.get("z", 0.0)))
+                return
+        for name in ("gps", "rtkgps"):
+            d = raw.get(name)
+            if isinstance(d, dict) and "latitude" in d:
+                if self._gps_converter is None:
+                    from ..utils.gps import GpsToLocalConverter
+
+                    self._gps_converter = GpsToLocalConverter()
+                xyz = self._gps_converter.convert(
+                    d["latitude"], d["longitude"], d.get("altitude", 0.0))
+                self.pose_histories.setdefault(name, []).append(
+                    (t, xyz[0], xyz[1], xyz[2]))
+                return
+
+    def set_parameter_string(self, s: str) -> None:
+        """Runtime parameter assignment "key value;key value" (reference:
+        api.cpp:491-496 setParameterString). Static parameters baked into the
+        compiled programs take effect at the next reset()."""
+        from ..config.loader import set_key_value
+
+        for part in s.replace(";", "\n").splitlines():
+            part = part.strip()
+            if not part:
+                continue
+            k, _, v = part.partition(" ")
+            set_key_value(self.params, k.strip(), v.strip() or "true")
 
     # --- processing (reference: Control::processSyncedSamples) ---
 
@@ -176,13 +226,19 @@ class VioApi:
         dtype = self._dtype
         batch = ImuBatch(jnp.asarray(t, dtype), jnp.asarray(g, dtype),
                          jnp.asarray(a, dtype), jnp.asarray(valid))
-        if self.params.tracker.useStereo:
-            self._state, out = self._vio_step(
-                self._state, batch, jnp.asarray(image, jnp.float32),
-                jnp.asarray(second, jnp.float32))
-        else:
-            self._state, out = self._vio_step(
-                self._state, batch, jnp.asarray(image, jnp.float32))
+        self.time_stats.start_frame()
+        with self.time_stats.scope("odometry+tracker step"):
+            if self.params.tracker.useStereo:
+                self._state, out = self._vio_step(
+                    self._state, batch, jnp.asarray(image, jnp.float32),
+                    jnp.asarray(second, jnp.float32))
+            else:
+                self._state, out = self._vio_step(
+                    self._state, batch, jnp.asarray(image, jnp.float32))
+            if self.time_stats.enabled:
+                import jax
+
+                jax.block_until_ready(out.position)
 
         # time-shift feedback into sample sync (reference: control.cpp:97-106)
         if self.params.odometry.estimateImuCameraTimeShift:
@@ -206,7 +262,17 @@ class VioApi:
             if (ids >= 0).any():
                 pub.add_point_cloud(pc[ids >= 0])
         if self.on_output:
-            self.on_output(self._convert_output(out))
+            with self.time_stats.scope("output conversion"):
+                vo = self._convert_output(out)
+            po = self.params.odometry
+            if po.freezeOnFailedTracking:
+                # freeze the published pose while tracking is failed
+                # (reference: control.cpp:124-128)
+                if vo.status == 2 and self._frozen is not None:
+                    vo.position, vo.orientation, vo.velocity = self._frozen
+                elif vo.status != 2:
+                    self._frozen = (vo.position, vo.orientation, vo.velocity)
+            self.on_output(vo)
 
     def _handle_status_and_reset(self, out) -> None:
         """Auto-reset logic (reference: control.cpp:117-150)."""

@@ -65,9 +65,23 @@ def run(argv=None) -> int:
     data_jsonl = os.path.join(dataset, "data.jsonl")
     params = Parameters()
 
+    # EuRoC ASL layout (mav0/...) read directly, no JSONL conversion needed
+    euroc_dir = None
+    if not os.path.exists(data_jsonl):
+        for cand in (dataset, os.path.join(dataset, "mav0")):
+            if os.path.isdir(os.path.join(cand, "cam0")):
+                euroc_dir = cand
+                break
+
     # precedence: data.jsonl-embedded -> parameters/yaml -> calibration -> argv
     if os.path.exists(data_jsonl):
         jio.set_parameters_from_data(params, data_jsonl)
+    elif euroc_dir:
+        from ..io.euroc import read_euroc_calibration
+
+        cams = read_euroc_calibration(euroc_dir)
+        if cams:
+            apply_calibration_json(params, json.dumps({"cameras": cams}))
     ppath = main_flags.get("p")
     if not ppath:
         for cand in ("vio_config.yaml", "parameters.txt"):
@@ -88,12 +102,24 @@ def run(argv=None) -> int:
     if unparsed:
         print(f"warning: unrecognized arguments: {unparsed}", file=sys.stderr)
 
-    src_path = find_frame_source_path(dataset)
-    if src_path is None:
-        print(f"error: no frame source found in {dataset}", file=sys.stderr)
-        return 1
-    frames = open_frame_source(src_path)
-    H, W = frames.shape
+    if euroc_dir:
+        frames = None  # frames loaded lazily from the per-event image paths
+        import glob
+
+        first = sorted(glob.glob(os.path.join(euroc_dir, "cam0", "data", "*")))
+        if not first:
+            print(f"error: no cam0 images in {euroc_dir}", file=sys.stderr)
+            return 1
+        from ..io.video import load_image_file
+
+        H, W = load_image_file(first[0]).shape
+    else:
+        src_path = find_frame_source_path(dataset)
+        if src_path is None:
+            print(f"error: no frame source found in {dataset}", file=sys.stderr)
+            return 1
+        frames = open_frame_source(src_path)
+        H, W = frames.shape
 
     from ..api.vio import VioApi
 
@@ -102,6 +128,8 @@ def run(argv=None) -> int:
     with_trail = main_flags.get("outputType") == "tail" or params.odometry.outputJsonPoseTrail
 
     api = VioApi(params, W, H)
+    if main_flags.get("timer"):
+        api.time_stats.enabled = True
     n_out = [0]
     t_start = time.time()
 
@@ -120,17 +148,36 @@ def run(argv=None) -> int:
 
     api.on_output = on_output
 
+    if euroc_dir:
+        from ..io.euroc import read_euroc_events
+
+        events = read_euroc_events(euroc_dir)
+    else:
+        events = jio.read_jsonl_events(data_jsonl)
+
     n_frames = 0
-    for ev in jio.read_jsonl_events(data_jsonl):
+    for ev in events:
         if ev.kind == jio.GYROSCOPE:
             api.add_gyro(ev.t, ev.values)
         elif ev.kind == jio.ACCELEROMETER:
             api.add_acc(ev.t, ev.values)
+        elif ev.kind == jio.ECHO:
+            if ev.raw:
+                api.add_echo(ev.raw)
         elif ev.kind == jio.FRAME:
-            num = ev.frames_index if ev.frames_index >= 0 else n_frames
-            img = frames.frame(num, 0)
-            if len(ev.frames) > 1 and params.tracker.useStereo:
-                img2 = frames.frame(num, 1)
+            if euroc_dir:
+                from ..io.video import load_image_file
+
+                paths = ev.raw["paths"]
+                img = load_image_file(paths[0])
+                img2 = (load_image_file(paths[1])
+                        if len(paths) > 1 and params.tracker.useStereo else None)
+            else:
+                num = ev.frames_index if ev.frames_index >= 0 else n_frames
+                img = frames.frame(num, 0)
+                img2 = (frames.frame(num, 1)
+                        if len(ev.frames) > 1 and params.tracker.useStereo else None)
+            if img2 is not None:
                 api.add_frame_stereo(ev.t, img, img2)
             else:
                 api.add_frame_mono(ev.t, img)
@@ -143,6 +190,8 @@ def run(argv=None) -> int:
         out_file.close()
     print(f"processed {n_frames} frames, {n_out[0]} outputs in {elapsed:.1f}s "
           f"({n_frames / max(elapsed, 1e-9):.1f} fps)", file=sys.stderr)
+    if main_flags.get("timer"):
+        print(api.time_stats.report(), file=sys.stderr)
     return 0
 
 

@@ -17,6 +17,7 @@ import jax.numpy as jnp
 
 from .state import CAM, MAP_POINT_DIM, ORI, POS, POSE_DIM, EKFState
 from .update import normalize_quaternions
+from .update import pdot
 
 
 def _augment_gather_index(d: int, cam_pose_count: int, dropped: jnp.ndarray):
@@ -69,15 +70,15 @@ def augment_pose(s: EKFState, dropped_pose_index, params) -> EKFState:
 
     r = po.augmentR * noise_scale
     R = r * jnp.eye(POSE_DIM, dtype=dtype)
-    HP = H @ P
-    S = HP @ H.T + R
+    HP = pdot(H, P)
+    S = pdot(HP, H.T) + R
     cho = jax.scipy.linalg.cho_factor(S)
     Kg = jax.scipy.linalg.cho_solve(cho, HP).T  # (d, 7)
     m = m + Kg @ (-(H @ m))
 
     # Joseph form (reference: updateCommonJosephForm, ekf.cpp:35-50)
-    IKH = jnp.eye(d, dtype=dtype) - Kg @ H
-    P = IKH @ P @ IKH.T + Kg @ R @ Kg.T
+    IKH = jnp.eye(d, dtype=dtype) - pdot(Kg, H)
+    P = pdot(pdot(IKH, P), IKH.T) + pdot(pdot(Kg, R), Kg.T)
     P = 0.5 * (P + P.T)
     m = normalize_quaternions(m, L)
 

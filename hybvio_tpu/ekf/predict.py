@@ -28,6 +28,7 @@ from .state import (
     BAA, BAT, BGA, INER_DIM, ORI, POS, Q_ACC, Q_BAA_DRIFT, Q_BGA_DRIFT,
     Q_DIM, Q_GYRO, VEL, EKFState, process_noise_q,
 )
+from .update import pdot
 
 
 def predict_mean_and_jacobians(po, m, dt, xg, xa, dtype=jnp.float64):
@@ -150,9 +151,9 @@ def make_predict(po, dtype=jnp.float64):
             q_diag = process_noise_diag(po, dt, dtype)
             P = s.P
             P_II = P[:INER_DIM, :INER_DIM]
-            P_II = dydx @ P_II @ dydx.T + (dydq * q_diag[None, :]) @ dydq.T
-            P_TI = P[INER_DIM:, :INER_DIM] @ dydx.T
-            P_IT = dydx @ P[:INER_DIM, INER_DIM:]
+            P_II = pdot(pdot(dydx, P_II), dydx.T) + pdot(dydq * q_diag[None, :], dydq.T)
+            P_TI = pdot(P[INER_DIM:, :INER_DIM], dydx.T)
+            P_IT = pdot(dydx, P[:INER_DIM, INER_DIM:])
             P = P.at[:INER_DIM, :INER_DIM].set(P_II)
             P = P.at[INER_DIM:, :INER_DIM].set(P_TI)
             P = P.at[:INER_DIM, INER_DIM:].set(P_IT)

@@ -8,6 +8,7 @@ from ..geometry.quaternion import (
     quat_conj, quat_from_two_vectors, quat_mul, quat_right_mul_matrix, quat_to_rmat,
 )
 from .state import BGA, CAM, ORI, POS, POSE_DIM, VEL, EKFState
+from .update import pdot
 
 
 def initialize_orientation(s: EKFState, xa, noise_initial_ori, noise_scale) -> EKFState:
@@ -60,8 +61,8 @@ def transform_to(s: EKFState, pos, q, cam_pose_count: int, pose_index: int = -1)
         A = A.at[off : off + 3, off : off + 3].set(p_change_mat)
         A = A.at[off + 3 : off + 7, off + 3 : off + 7].set(q_change_mat)
 
-    m = A @ s.m
-    P = A @ s.P @ A.T
+    m = pdot(A, s.m[:, None])[:, 0]
+    P = pdot(pdot(A, s.P), A.T)
     s = s._replace(m=m, P=P)
     ref_pos = p_change_mat @ p0
     translation = pos - ref_pos

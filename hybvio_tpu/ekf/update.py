@@ -18,6 +18,15 @@ import jax.numpy as jnp
 from .chi2 import CHI2INV95
 from .state import BGA, CAM, ORI, POS, POSE_DIM, SFT, VEL, EKFState
 
+# Covariance algebra must not drop mantissa bits on the TPU MXU (bf16 passes
+# corrupt P into indefiniteness); these sites run at Precision.HIGHEST even
+# when the rest of the program (image front-end) uses the fast default.
+_PREC = jax.lax.Precision.HIGHEST
+
+
+def pdot(a, b):
+    return jnp.matmul(a, b, precision=_PREC)
+
 
 def _normalize_current_quat(m):
     q = m[ORI : ORI + 4]
@@ -44,13 +53,13 @@ def kf_update(m, P, y, H, r_diag):
     Returns (m, P). Mirrors the reference's `update` (ekf.cpp:57-82) +
     updateCommon.
     """
-    HP = H @ P  # (n, d)
-    S = HP @ H.T + jnp.diag(r_diag)
+    HP = pdot(H, P)  # (n, d)
+    S = pdot(HP, H.T) + jnp.diag(r_diag)
     cho = jax.scipy.linalg.cho_factor(S)
     K = jax.scipy.linalg.cho_solve(cho, HP)  # (n, d); true gain is K.T
-    v = y - H @ m
-    m = m + K.T @ v
-    P = P - K.T @ HP
+    v = y - pdot(H, m[:, None])[:, 0]
+    m = m + pdot(K.T, v[:, None])[:, 0]
+    P = P - pdot(K.T, HP)
     m = _normalize_current_quat(m)
     return m, P
 
@@ -103,11 +112,11 @@ def update_pseudo_velocity(s: EKFState, default_speed, r, noise_scale) -> EKFSta
     hh = jnp.where(do, h, 1.0)
     H = jnp.zeros((1, d), s.m.dtype)
     H = H.at[0, VEL : VEL + 2].set(s.m[VEL : VEL + 2] / hh)
-    HP = H @ s.P
-    S = (HP @ H.T)[0, 0] + r * noise_scale
+    HP = pdot(H, s.P)
+    S = pdot(HP, H.T)[0, 0] + r * noise_scale
     K = HP / S  # (1,d)
     m = s.m + K[0] * (default_speed - h)
-    P = s.P - K.T @ HP
+    P = s.P - pdot(K.T, HP)
     m = _normalize_current_quat(m)
     return _gated(s, do, s._replace(m=m, P=P))
 
@@ -183,8 +192,8 @@ def visual_track_update(
     rmse2 = jnp.sum(v * v) / jnp.maximum(n_valid, 1)
     rmse_ok = jnp.where(rmse_threshold >= 0, rmse2 <= rmse_threshold * rmse_threshold, True)
 
-    HP = H @ P
-    HPHt = HP @ H.T
+    HP = pdot(H, P)
+    HPHt = pdot(HP, H.T)
     eye = jnp.eye(n, dtype=dtype)
 
     # chi2 gate uses its own noise level chi_outlier_r (reference passes
@@ -205,8 +214,8 @@ def visual_track_update(
     S = HPHt + r * eye
     cho = jax.scipy.linalg.cho_factor(S)
     K = jax.scipy.linalg.cho_solve(cho, HP)  # (n,d)
-    m_new = m + K.T @ v
-    P_new = P - K.T @ HP
+    m_new = m + pdot(K.T, v[:, None])[:, 0]
+    P_new = P - pdot(K.T, HP)
     m_new = _normalize_current_quat(m_new)
 
     do = is_inlier & apply_update
@@ -232,7 +241,7 @@ def visual_track_gate(m, P, H, f, y, mask, noise_scale, chi_outlier_r, rmse_thre
     rmse_ok = jnp.where(rmse_threshold >= 0, rmse2 <= rmse_threshold * rmse_threshold, True)
 
     r_gate = (chi_outlier_r * chi_outlier_r) * noise_scale
-    S = H @ P @ H.T + jnp.abs(r_gate) * jnp.eye(n, dtype=dtype)
+    S = pdot(pdot(H, P), H.T) + jnp.abs(r_gate) * jnp.eye(n, dtype=dtype)
     Sv = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(S), v)
     chi2_value = noise_scale * jnp.dot(Sv, v)
     idx = jnp.minimum(n_valid, len(CHI2INV95) - 1)

@@ -46,6 +46,13 @@ class NpyFrameSource(FrameSource):
         return self._shape
 
 
+def load_image_file(path: str) -> np.ndarray:
+    """Load one image file as grayscale float [0, 1] via PIL."""
+    from PIL import Image
+
+    return np.asarray(Image.open(path).convert("L"), dtype=np.float32) / 255.0
+
+
 class ImageDirSource(FrameSource):
     """Sorted image files (e.g. EuRoC cam0/data/*.png) as a frame source."""
 

@@ -114,6 +114,16 @@ class FrameOutput(NamedTuple):
     track_depth: jnp.ndarray  # (T,) dense stereo z-depth in cam0, -1 = none
 
 
+def _highest_precision(fn):
+    """Trace the wrapped function with full-f32 matmuls: triangulation and
+    measurement-jacobian chains lose real ATE at 3-pass 'high' (the program
+    default on TPU); these matmuls are tiny so the cost is negligible."""
+    def wrapped(*a, **k):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **k)
+    return wrapped
+
+
 def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
                  dtype=jnp.float64, n_visual_candidates: Optional[int] = None):
     """Build (init_fn, frame_step) for static parameters.
@@ -191,7 +201,8 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             return jax.lax.cond(valid, process, lambda s_: s_, s), None
 
         state, _ = jax.lax.scan(
-            body, state, (batch.t, batch.gyro, batch.acc, batch.valid))
+            body, state, (batch.t, batch.gyro, batch.acc, batch.valid),
+            unroll=4)  # fuse tiny per-sample TPU loop iterations
         return state
 
     # --------------------------------------------------------- visual update
@@ -201,6 +212,7 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
         trail_block = m[CAM:CAM + POSE_DIM * L].reshape(L, POSE_DIM)
         return jnp.concatenate([cur[None, :], trail_block], axis=0)
 
+    @_highest_precision
     def visual_update_phase(state: BackendState, track_ids, norm_pts, valid,
                             rng, full_visual_update):
         trail_state = state.trail
@@ -402,6 +414,7 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
                                blacklist_flags=bl_flags, blacklist_ids=bl_ids)
         return state, (pc_points, pc_status, pc_ids), need_more_final, too_many_failures
 
+    @_highest_precision
     def visual_update_phase_batched(state: BackendState, track_ids, norm_pts,
                                     valid, rng, full_visual_update):
         """Batched visual update (reference: batchVisualUpdate mode,

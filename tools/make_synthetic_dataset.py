@@ -56,3 +56,83 @@ if __name__ == "__main__":
     dur = float(sys.argv[2]) if len(sys.argv) > 2 else 6.0
     d, n = make_dataset(out, dur)
     print(f"wrote {n} frames to {d}")
+
+
+def make_euroc_dataset(out_dir: str, duration: float = 4.0, width: int = 320,
+                       height: int = 240, fx: float = 260.0,
+                       imu_rate: float = 100.0, frame_rate: float = 10.0,
+                       seed: int = 0, n_landmarks: int = 300,
+                       gyro_noise: float = 5e-4, acc_noise: float = 5e-3,
+                       stereo: bool = False, baseline: float = 0.11):
+    """Write the same synthetic sequence in the EuRoC ASL (mav0) layout:
+    cam*/data.csv + data/*.png + sensor.yaml, imu0/data.csv,
+    state_groundtruth_estimate0/data.csv."""
+    from PIL import Image
+
+    from hybvio_tpu.io.synthetic import (
+        SYNTH_IMU_TO_CAMERA, generate_sequence, render_view,
+    )
+
+    seq = generate_sequence(duration=duration, imu_rate=imu_rate,
+                            frame_rate=frame_rate, n_landmarks=n_landmarks,
+                            gyro_noise=gyro_noise, acc_noise=acc_noise,
+                            seed=seed)
+    i2cs = [np.asarray(SYNTH_IMU_TO_CAMERA)]
+    if stereo:
+        second = i2cs[0].copy()
+        second[0, 3] = -baseline
+        i2cs.append(second)
+
+    def yaml_for(i2c):
+        T_BS = np.linalg.inv(i2c)
+        rows = ",\n        ".join(
+            ", ".join(f"{v:.12f}" for v in row) for row in T_BS)
+        return (
+            "%YAML:1.0\n"
+            "sensor_type: camera\n"
+            "T_BS:\n  rows: 4\n  cols: 4\n"
+            f"  data: [{rows}]\n"
+            "rate_hz: {:g}\n".format(frame_rate) +
+            f"resolution: [{width}, {height}]\n"
+            "camera_model: pinhole\n"
+            f"intrinsics: [{fx}, {fx}, {width / 2}, {height / 2}]\n"
+            "distortion_model: radial-tangential\n"
+            "distortion_coefficients: [0.0, 0.0, 0.0, 0.0]\n")
+
+    to_ns = lambda t: int(round(t * 1e9))
+    for ci, i2c in enumerate(i2cs):
+        cdir = os.path.join(out_dir, f"cam{ci}")
+        os.makedirs(os.path.join(cdir, "data"), exist_ok=True)
+        with open(os.path.join(cdir, "sensor.yaml"), "w") as f:
+            f.write(yaml_for(i2c))
+        with open(os.path.join(cdir, "data.csv"), "w") as f:
+            f.write("#timestamp [ns],filename\n")
+            for k in seq.frame_sample_idx:
+                ns = to_ns(seq.times[k])
+                img = render_view(
+                    seq.landmarks, seq.pos[k], seq.quat[k], i2c,
+                    fx, fx, width / 2, height / 2, width, height,
+                    blob_sigma=1.2)
+                Image.fromarray(
+                    np.clip(img * 255, 0, 255).astype(np.uint8)).save(
+                        os.path.join(cdir, "data", f"{ns}.png"))
+                f.write(f"{ns},{ns}.png\n")
+
+    idir = os.path.join(out_dir, "imu0")
+    os.makedirs(idir, exist_ok=True)
+    with open(os.path.join(idir, "data.csv"), "w") as f:
+        f.write("#timestamp [ns],w_x,w_y,w_z,a_x,a_y,a_z\n")
+        for k in range(len(seq.times)):
+            g, a = seq.gyro[k], seq.acc[k]
+            f.write(f"{to_ns(seq.times[k])},{g[0]},{g[1]},{g[2]},"
+                    f"{a[0]},{a[1]},{a[2]}\n")
+
+    gdir = os.path.join(out_dir, "state_groundtruth_estimate0")
+    os.makedirs(gdir, exist_ok=True)
+    with open(os.path.join(gdir, "data.csv"), "w") as f:
+        f.write("#timestamp,p,q,v,bw,ba\n")
+        for k in seq.frame_sample_idx:
+            p, q = seq.pos[k], seq.quat[k]
+            f.write(f"{to_ns(seq.times[k])},{p[0]},{p[1]},{p[2]},"
+                    f"{q[0]},{q[1]},{q[2]},{q[3]}\n")
+    return out_dir, len(seq.frame_sample_idx)
