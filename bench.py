@@ -65,7 +65,12 @@ def main():
     p.tracker.principalPointX = W / 2
     p.tracker.principalPointY = H / 2
     p.tracker.pyrLKWindowSize = 15
-    p.tracker.pyrLKMaxLevel = 3
+    # LK iteration count tuned for TPU: the odometry-predicted flow guesses
+    # make long iteration tails unnecessary (ATE matches 20-iter runs).
+    # Sweeps: BENCH_LK_LEVELS=2 (3 levels) reached 217 FPS/chip batched and
+    # =1 reached 260, but long sequences hit motion beyond 3-level range.
+    p.tracker.pyrLKMaxLevel = int(os.environ.get("BENCH_LK_LEVELS", "3"))
+    p.tracker.pyrLKMaxIter = int(os.environ.get("BENCH_LK_ITERS", "8"))
     p.tracker.gfttMinDistance = 35.0
     p.odometry.imuToCameraMatrix = tuple(SYNTH_IMU_TO_CAMERA.T.flatten())
     p.odometry.visualR = 0.3  # matched to the front-end's LK noise on renders
