@@ -39,14 +39,46 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=jnp.float64,
     T = max_tracks if max_tracks is not None else pt.maxTracks
     L = po.cameraTrailLength
     K = L + 1
-    cam0 = cameras[0]
     i2c = jnp.asarray(derived.imu_to_camera, dtype=dtype)
 
     use_stereo = bool(pt.useStereo)
+
+    # --- optional stereo rectification of the input images (reference:
+    # tracker.useRectification; Image::Factory::buildStereo builds a
+    # StereoRectifier + two Undistorters, image.cpp:310-338). The tracker and
+    # backend then operate on rectified pinhole cameras CARRYING the
+    # rectification rotation (camera.cpp:158-162), so normalized points /
+    # rays remain in the original cam0/cam1 frames and the filter extrinsics
+    # are unchanged. ---
+    use_rectification = use_stereo and bool(pt.useRectification)
+    input_remaps = None
+    Q_rectified = None
+    if use_rectification:
+        from ..frontend.rectify import build_remap, stereo_rectify
+
+        img_w = int(np.asarray(cameras[0].width))
+        img_h = int(np.asarray(cameras[0].height))
+        rc0, rc1, Q_rectified, _, _ = stereo_rectify(
+            cameras[0], cameras[1], np.asarray(derived.imu_to_camera),
+            np.asarray(derived.second_imu_to_camera), img_w, img_h,
+            dtype=image_dtype)
+        input_remaps = (build_remap(cameras[0], rc0, img_w, img_h),
+                        build_remap(cameras[1], rc1, img_w, img_h))
+        cameras = (rc0, rc1)
+
+    cam0 = cameras[0]
     backend_init, frame_step = make_backend(
         params, derived, cameras, max_tracks=T, dtype=dtype)
     tracker_init, track_frame = make_tracker(
         params, cameras, max_tracks=T, dtype=image_dtype, derived=derived)
+
+    def rectify_inputs(image, second_image):
+        if input_remaps is None:
+            return image, second_image
+        from ..frontend.rectify import remap
+
+        return (remap(jnp.asarray(image, image_dtype), input_remaps[0]),
+                remap(jnp.asarray(second_image, image_dtype), input_remaps[1]))
 
     dense_depth = use_stereo and bool(pt.computeDenseStereoDepth)
     if dense_depth:
@@ -60,20 +92,30 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=jnp.float64,
 
         img_w = int(np.asarray(cam0.width))
         img_h = int(np.asarray(cam0.height))
-        rc0, rc1, Q_depth, _, _ = stereo_rectify(
-            cameras[0], cameras[1], np.asarray(derived.imu_to_camera),
-            np.asarray(derived.second_imu_to_camera), img_w, img_h,
-            dtype=image_dtype)
-        remap0 = build_remap(cameras[0], rc0, img_w, img_h)
-        remap1 = build_remap(cameras[1], rc1, img_w, img_h)
+        if use_rectification:
+            # inputs are already rectified by rectify_inputs
+            rc0, rc1 = cameras
+            Q_depth = Q_rectified
+            remap0 = remap1 = None
+        else:
+            rc0, rc1, Q_depth, _, _ = stereo_rectify(
+                cameras[0], cameras[1], np.asarray(derived.imu_to_camera),
+                np.asarray(derived.second_imu_to_camera), img_w, img_h,
+                dtype=image_dtype)
+            remap0 = build_remap(cameras[0], rc0, img_w, img_h)
+            remap1 = build_remap(cameras[1], rc1, img_w, img_h)
         max_disp = default_max_disparity(img_w)
 
         def track_dense_depth(image, second_image, pixels, valid):
-            rl = remap(jnp.asarray(image, image_dtype), remap0)
-            rr = remap(jnp.asarray(second_image, image_dtype), remap1)
+            if remap0 is not None:
+                rl = remap(jnp.asarray(image, image_dtype), remap0)
+                rr = remap(jnp.asarray(second_image, image_dtype), remap1)
+            else:
+                rl = jnp.asarray(image, image_dtype)
+                rr = jnp.asarray(second_image, image_dtype)
             disp, dvalid = compute_disparity(rl, rr, max_disp)
             depth, dok = disparity_to_depth(disp, dvalid, Q_depth)
-            # track pixels live in the unrectified cam0; map to rectified
+            # track pixels live in the tracker camera; map to rectified
             rays, ok_r = pixel_to_ray(cam0, pixels.astype(image_dtype))
             rpix, ok_p = ray_to_pixel(rc0, rays)
             d = sample_depth(depth, dok, rpix)
@@ -82,6 +124,8 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=jnp.float64,
     def init_fn(first_image, t0=0.0, rng_key=None, second_image=None) -> VioState:
         if use_stereo and second_image is None and isinstance(first_image, (tuple, list)):
             first_image, second_image = first_image
+        if use_rectification:
+            first_image, second_image = rectify_inputs(first_image, second_image)
         return VioState(
             backend=backend_init(rng_key),
             tracker=tracker_init(first_image, t0, second_image=second_image),
@@ -136,6 +180,8 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=jnp.float64,
         # backend.cpp:735-765)
         if use_stereo and second_image is None and isinstance(image, (tuple, list)):
             image, second_image = image
+        if use_rectification:
+            image, second_image = rectify_inputs(image, second_image)
         bstate = frame_step.imu_scan(state.backend, imu)
         if pt.predictOpticalFlow:
             guess = predict_flow(bstate, state.tracker)
