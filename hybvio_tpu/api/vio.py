@@ -162,6 +162,15 @@ class VioApi:
                     (t, xyz[0], xyz[1], xyz[2]))
                 return
 
+    def finish(self, slam_map_poses_path=None) -> None:
+        """Flush async SLAM and run the final global adjustment (reference:
+        slam::Slam::end() via main.cpp teardown; -slamMapPosesPath saves the
+        keyframe map)."""
+        if self.slam is not None:
+            self.slam.finish(map_save_path=slam_map_poses_path)
+        if self.recorder is not None:
+            self.recorder.close()
+
     def set_parameter_string(self, s: str) -> None:
         """Runtime parameter assignment "key value;key value" (reference:
         api.cpp:491-496 setParameterString). Static parameters baked into the

@@ -53,7 +53,8 @@ def run(argv=None) -> int:
     for a in argv:
         body = a.lstrip("-")
         k, _, v = body.partition("=")
-        if k in ("i", "o", "p", "c", "maxFrames", "timer", "recordDir", "outputType"):
+        if k in ("i", "o", "p", "c", "maxFrames", "timer", "recordDir",
+                 "outputType", "slamMapPosesPath"):
             main_flags[k] = v if v else "true"
         else:
             rest.append(a)
@@ -185,6 +186,7 @@ def run(argv=None) -> int:
             if max_frames and n_frames >= max_frames:
                 break
 
+    api.finish(slam_map_poses_path=main_flags.get("slamMapPosesPath"))
     elapsed = time.time() - t_start
     if out_file:
         out_file.close()

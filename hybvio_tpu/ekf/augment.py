@@ -72,8 +72,9 @@ def augment_pose(s: EKFState, dropped_pose_index, params) -> EKFState:
     R = r * jnp.eye(POSE_DIM, dtype=dtype)
     HP = pdot(H, P)
     S = pdot(HP, H.T) + R
-    cho = jax.scipy.linalg.cho_factor(S)
-    Kg = jax.scipy.linalg.cho_solve(cho, HP).T  # (d, 7)
+    from .update import solve_innovation
+
+    Kg = solve_innovation(S, HP).T  # (d, 7)
     m = m + Kg @ (-(H @ m))
 
     # Joseph form (reference: updateCommonJosephForm, ekf.cpp:35-50)

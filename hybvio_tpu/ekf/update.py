@@ -45,21 +45,36 @@ def normalize_quaternions(m, cam_pose_count: int):
     return m
 
 
+def solve_innovation(S, B):
+    """Solve S X = B for the innovation covariance S via Cholesky.
+
+    The reference uses LDLT (ekf.cpp:66). Cholesky NaNs when accumulated f32
+    rounding pushes S indefinite — rather than a slower decomposition, the
+    callers detect the non-finite result and DROP that update (the filter
+    survives; the reference's chi2 gate rejects such updates similarly)."""
+    cho = jax.scipy.linalg.cho_factor(S)
+    return jax.scipy.linalg.cho_solve(cho, B)
+
+
 def kf_update(m, P, y, H, r_diag):
     """Generic KF update with diagonal measurement noise.
 
     H: (n, d) full width; rows may be all-zero (masked). y: (n,) with masked
     rows equal to (H m) rows (zero residual). r_diag: (n,) positive.
     Returns (m, P). Mirrors the reference's `update` (ekf.cpp:57-82) +
-    updateCommon.
+    updateCommon. An update whose result would be non-finite is dropped
+    (state returned unchanged) — a single degenerate S must not destroy the
+    filter.
     """
     HP = pdot(H, P)  # (n, d)
     S = pdot(HP, H.T) + jnp.diag(r_diag)
-    cho = jax.scipy.linalg.cho_factor(S)
-    K = jax.scipy.linalg.cho_solve(cho, HP)  # (n, d); true gain is K.T
+    K = solve_innovation(S, HP)  # (n, d); true gain is K.T
     v = y - pdot(H, m[:, None])[:, 0]
-    m = m + pdot(K.T, v[:, None])[:, 0]
-    P = P - pdot(K.T, HP)
+    m_new = m + pdot(K.T, v[:, None])[:, 0]
+    P_new = P - pdot(K.T, HP)
+    ok = jnp.isfinite(m_new).all() & jnp.isfinite(P_new).all()
+    m = jnp.where(ok, m_new, m)
+    P = jnp.where(ok, P_new, P)
     m = _normalize_current_quat(m)
     return m, P
 
@@ -202,7 +217,9 @@ def visual_track_update(
     # (ekf.cpp:808-819)
     r_gate = (chi_outlier_r * chi_outlier_r) * noise_scale
     S_gate = HPHt + jnp.abs(r_gate) * eye
-    Sv = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(S_gate), v)
+    Sv = solve_innovation(S_gate, v[:, None])[:, 0]
+    # a non-finite chi2 (degenerate S) must reject, not pass
+    Sv = jnp.where(jnp.isfinite(Sv), Sv, jnp.inf)
     chi2_value = noise_scale * jnp.dot(Sv, v)
     idx = jnp.minimum(n_valid, len(CHI2INV95) - 1)
     chi2_thresh = jnp.asarray(CHI2INV95, dtype=dtype)[idx]
@@ -212,13 +229,13 @@ def visual_track_update(
 
     r = (visual_r * visual_r) * noise_scale
     S = HPHt + r * eye
-    cho = jax.scipy.linalg.cho_factor(S)
-    K = jax.scipy.linalg.cho_solve(cho, HP)  # (n,d)
+    K = solve_innovation(S, HP)  # (n,d)
     m_new = m + pdot(K.T, v[:, None])[:, 0]
     P_new = P - pdot(K.T, HP)
     m_new = _normalize_current_quat(m_new)
 
-    do = is_inlier & apply_update
+    do = (is_inlier & apply_update
+          & jnp.isfinite(m_new).all() & jnp.isfinite(P_new).all())
     m_out = jnp.where(do, m_new, m)
     P_out = jnp.where(do, P_new, P)
     return VisualUpdateResult(m_out, P_out, is_inlier, rmse_ok, chi2_ok, chi2_value)
@@ -242,7 +259,8 @@ def visual_track_gate(m, P, H, f, y, mask, noise_scale, chi_outlier_r, rmse_thre
 
     r_gate = (chi_outlier_r * chi_outlier_r) * noise_scale
     S = pdot(pdot(H, P), H.T) + jnp.abs(r_gate) * jnp.eye(n, dtype=dtype)
-    Sv = jax.scipy.linalg.cho_solve(jax.scipy.linalg.cho_factor(S), v)
+    Sv = solve_innovation(S, v[:, None])[:, 0]
+    Sv = jnp.where(jnp.isfinite(Sv), Sv, jnp.inf)
     chi2_value = noise_scale * jnp.dot(Sv, v)
     idx = jnp.minimum(n_valid, len(CHI2INV95) - 1)
     chi2_ok = jnp.where(chi_outlier_r >= 0, chi2_value <= jnp.asarray(CHI2INV95, dtype=dtype)[idx], True)

@@ -137,9 +137,9 @@ class SlamCoupling:
         self.coord.set_coordinates(odo_cw, result.pose_cw)
         self.point_cloud = result.point_cloud
 
-    def finish(self) -> None:
+    def finish(self, map_save_path=None) -> None:
         while self.pending:
             self._consume(self.pending.pop(0))
-        self.slam.end()
+        self.slam.end(map_save_path=map_save_path)
         if self.pool is not None:
             self.pool.shutdown(wait=True)

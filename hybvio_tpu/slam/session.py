@@ -160,9 +160,35 @@ class Slam:
             point_cloud=self._cloud(),
             loop_closed=loop is not None and loop.applied)
 
-    def end(self) -> bool:
-        """(reference: slam::Slam::end) final global adjustment."""
+    def end(self, map_save_path: Optional[str] = None) -> bool:
+        """(reference: slam::Slam::end) final global adjustment; optionally
+        save the keyframe map poses (reference: -slamMapPosesPath /
+        slamDebug->mapSavePath, main.cpp:518): one JSON line per keyframe
+        {time, position, orientation (camera-to-world)} plus map points."""
         self._local_ba(global_ba=True)
+        if map_save_path:
+            import json
+
+            from ..geometry.quaternion import rmat_to_quat
+            import jax.numpy as jnp
+
+            with open(map_save_path, "w") as f:
+                for kid in self.kf_order:
+                    kf = self.keyframes[kid]
+                    T = pose_to_mat(kf.pose)  # camera-to-world
+                    q = np.asarray(rmat_to_quat(jnp.asarray(T[:3, :3])))
+                    f.write(json.dumps({
+                        "time": float(kf.t),
+                        "position": {"x": float(T[0, 3]), "y": float(T[1, 3]),
+                                     "z": float(T[2, 3])},
+                        "orientation": {"w": float(q[0]), "x": float(q[1]),
+                                        "y": float(q[2]), "z": float(q[3])},
+                    }) + "\n")
+                for tid, mp in self.points.items():
+                    f.write(json.dumps({
+                        "mapPoint": {"id": int(mp.point_id), "trackId": int(tid),
+                                     "position": [float(v) for v in mp.position]},
+                    }) + "\n")
         return True
 
     # -------------------------------------------------------------- mapping

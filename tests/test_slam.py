@@ -158,3 +158,33 @@ def test_loop_closure_detection():
     assert len(slam.loop_events) >= 1, "expected a loop closure detection"
     ev = slam.loop_events[-1]
     assert ev.n_matches >= 4
+
+
+def test_slam_map_save(tmp_path):
+    """end(map_save_path) writes keyframe poses + map points (reference:
+    -slamMapPosesPath)."""
+    import json
+
+    p = Parameters()
+    p.slam.keyframeDecisionMinIntervalSeconds = 0.0
+    p.slam.keyframeDecisionDistanceThreshold = 0.01
+    slam = Slam(p, max_ba_keyframes=8, compute_descriptors=False)
+    rng = np.random.RandomState(1)
+    landmarks = np.stack([
+        4.0 + rng.rand(60) * 2, rng.randn(60) * 2, rng.randn(60) * 1], axis=1)
+    for k in range(5):
+        T = cam_pose_cw(np.array([0.0, k * 0.3, 0.0]), 0.0)
+        ip, ok = project_to_norm(T, landmarks)
+        ids = np.where(ok, np.arange(60), -1).astype(np.int32)
+        slam.add_frame(None, T, ids[ok], ip[ok], t=float(k), frame_num=k)
+
+    path = str(tmp_path / "map.jsonl")
+    assert slam.end(map_save_path=path)
+    poses, points = [], []
+    with open(path) as f:
+        for line in f:
+            d = json.loads(line)
+            (points if "mapPoint" in d else poses).append(d)
+    assert len(poses) == len(slam.kf_order)
+    assert len(points) == len(slam.points)
+    assert all("position" in d and "orientation" in d for d in poses)
