@@ -101,6 +101,12 @@ class VioApi:
         self._threshold_warned = 0.01
         self._frame_count = 0
 
+        # optional odometry worker thread (reference: processingQueueSize)
+        self._queue = None
+        self._worker = None
+        if params.odometry.processingQueueSize > 0:
+            self._start_worker(params.odometry.processingQueueSize)
+
         # optional async SLAM backend (reference: slam.useSlam + applySlam)
         self.slam = None
         if params.slam.useSlam:
@@ -166,6 +172,11 @@ class VioApi:
         """Flush async SLAM and run the final global adjustment (reference:
         slam::Slam::end() via main.cpp teardown; -slamMapPosesPath saves the
         keyframe map)."""
+        if self._queue is not None:
+            self._queue.join()
+            self._queue.put(None)
+            self._worker.join(timeout=30)
+            self._queue = None
         if self.slam is not None:
             self.slam.finish(map_save_path=slam_map_poses_path)
         if self.recorder is not None:
@@ -187,7 +198,7 @@ class VioApi:
     # --- processing (reference: Control::processSyncedSamples) ---
 
     def process_pending(self) -> int:
-        """Drain synced samples; returns number of frames processed."""
+        """Drain synced samples; returns number of frames processed/queued."""
         frames = 0
         while True:
             s = self.sample_sync.poll_synced_sample()
@@ -195,9 +206,47 @@ class VioApi:
                 break
             self._pending_imu.append(s)
             if s.frame is not None:
-                self._process_frame(s)
+                if self._queue is not None:
+                    # odometry worker thread (reference:
+                    # odometry.processingQueueSize > 0 -> controlProcessingQueue,
+                    # api.cpp:1019, util/bounded_processing_queue.hpp):
+                    # bounded; enqueue blocks when full like the reference
+                    imu = self._pending_imu
+                    self._pending_imu = []
+                    self._queue.put((imu, s))
+                else:
+                    self._process_frame(s)
                 frames += 1
         return frames
+
+    def _start_worker(self, max_size: int) -> None:
+        import queue
+
+        self._queue = queue.Queue(maxsize=max_size)
+
+        def work():
+            while True:
+                item = self._queue.get()
+                if item is None:
+                    return
+                imu, s = item
+                try:
+                    self._pending_imu = imu + self._pending_imu
+                    self._process_frame(s)
+                except Exception as e:  # pragma: no cover - surfacing only
+                    import traceback
+
+                    traceback.print_exc()
+                finally:
+                    self._queue.task_done()
+
+        self._worker = threading.Thread(target=work, daemon=True)
+        self._worker.start()
+
+    def wait_idle(self) -> None:
+        """Block until the odometry worker has drained its queue."""
+        if self._queue is not None:
+            self._queue.join()
 
     def _ensure_state(self, image, t, second_image=None):
         if self._state is None:

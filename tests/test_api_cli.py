@@ -114,3 +114,47 @@ def test_cli_runner(dataset, tmp_path):
     lines = [json.loads(l) for l in open(out_path)]
     assert len(lines) >= 15
     assert set(lines[-1]) >= {"time", "position", "orientation", "velocity", "status"}
+
+
+@pytest.mark.slow
+def test_api_worker_thread(dataset):
+    """processingQueueSize > 0 runs odometry on a worker thread (reference:
+    controlProcessingQueue, api.cpp:1019) and produces a sane trajectory."""
+    from hybvio_tpu.api.vio import VioApi
+    from hybvio_tpu.config import Parameters
+
+    p = Parameters()
+    jio.set_parameters_from_data(p, os.path.join(dataset, "data.jsonl"))
+    p.tracker.focalLength = 260.0
+    p.tracker.principalPointX = 160.0
+    p.tracker.principalPointY = 120.0
+    p.tracker.maxTracks = 48
+    p.odometry.cameraTrailLength = 8
+    p.odometry.visualR = 0.3
+    p.tracker.gfttMinDistance = 25.0
+    p.tracker.pyrLKMaxLevel = 2
+    p.odometry.processingQueueSize = 3
+
+    api = VioApi(p, 320, 240)
+    outs = []
+    api.on_output = outs.append
+
+    from make_synthetic_dataset import make_dataset  # noqa: F401 (fixture dep)
+    frames = __import__("hybvio_tpu.io.video", fromlist=["open_frame_source"]) \
+        .open_frame_source(dataset)
+    n = 0
+    for ev in jio.read_jsonl_events(os.path.join(dataset, "data.jsonl")):
+        if ev.kind == jio.GYROSCOPE:
+            api.add_gyro(ev.t, ev.values)
+        elif ev.kind == jio.ACCELEROMETER:
+            api.add_acc(ev.t, ev.values)
+        elif ev.kind == jio.FRAME:
+            api.add_frame_mono(ev.t, frames.frame(n, 0))
+            n += 1
+            if n >= 25:
+                break
+    api.finish()
+    assert len(outs) >= 15
+    est = np.stack([o.position for o in outs])
+    assert np.isfinite(est).all()
+    assert np.linalg.norm(est[-1]) < 10.0
