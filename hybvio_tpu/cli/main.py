@@ -122,6 +122,14 @@ def run(argv=None) -> int:
         frames = open_frame_source(src_path)
         H, W = frames.shape
 
+    # videoRotation: rotate incoming frames (the imuToCamera adjustment was
+    # applied during parameter parsing; reference: parameters_base.cpp:38-66)
+    rot_steps = getattr(params, "videoRotationSteps", 0) % 4
+    def maybe_rotate(img):
+        return np.rot90(img, k=-rot_steps) if rot_steps else img
+    if rot_steps % 2 == 1:
+        W, H = H, W
+
     from ..api.vio import VioApi
 
     max_frames = int(main_flags.get("maxFrames", "0") or 0)
@@ -179,9 +187,9 @@ def run(argv=None) -> int:
                 img2 = (frames.frame(num, 1)
                         if len(ev.frames) > 1 and params.tracker.useStereo else None)
             if img2 is not None:
-                api.add_frame_stereo(ev.t, img, img2)
+                api.add_frame_stereo(ev.t, maybe_rotate(img), maybe_rotate(img2))
             else:
-                api.add_frame_mono(ev.t, img)
+                api.add_frame_mono(ev.t, maybe_rotate(img))
             n_frames += 1
             if max_frames and n_frames >= max_frames:
                 break

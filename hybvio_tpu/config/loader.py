@@ -36,8 +36,39 @@ class UnknownParameterError(KeyError):
     pass
 
 
+_VIDEO_ROTATIONS = {
+    "NONE": ((1.0, 0.0), (0.0, 1.0)),
+    "CW90": ((0.0, 1.0), (-1.0, 0.0)),
+    "CW180": ((-1.0, 0.0), (0.0, -1.0)),
+    "CW270": ((0.0, -1.0), (1.0, 0.0)),
+}
+
+
+def apply_video_rotation(params: Parameters, value: str) -> None:
+    """videoRotation=NONE|CW90|CW180|CW270: premultiply the top-left 2x2 of
+    imuToCamera by the image rotation (reference: parameters_base.cpp:38-66;
+    like the reference, repeated application cumulates). The frame source must
+    rotate the images correspondingly (cli reads params.videoRotationSteps)."""
+    import numpy as np
+
+    if value not in _VIDEO_ROTATIONS:
+        raise ValueError(f"unknown videoRotation: {value!r}")
+    from ..geometry.poses import vec2matrix
+
+    rot = np.asarray(_VIDEO_ROTATIONS[value])
+    m = np.array(vec2matrix(params.odometry.imuToCameraMatrix), dtype=float)
+    m[:2, :2] = rot @ m[:2, :2]
+    params.odometry.imuToCameraMatrix = tuple(m.T.flatten())
+    steps = {"NONE": 0, "CW90": 1, "CW180": 2, "CW270": 3}[value]
+    params.videoRotationSteps = (getattr(params, "videoRotationSteps", 0)
+                                 + steps) % 4
+
+
 def set_key_value(params: Parameters, key: str, value) -> None:
     """Set ``group.name`` or bare ``name`` (group inferred; ambiguous -> error)."""
+    if key == "videoRotation":
+        apply_video_rotation(params, str(value))
+        return
     if "." in key:
         group, name = key.split(".", 1)
         params.set_parameter(group, name, value)

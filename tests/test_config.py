@@ -89,3 +89,28 @@ def test_precedence_argv_wins():
         argv=["-cameraTrailLength=6"],
     )
     assert p.odometry.cameraTrailLength == 6
+
+
+def test_video_rotation_param():
+    """videoRotation rotates the imuToCamera xy block, cumulating like the
+    reference (parameters_base.cpp:38-66)."""
+    import numpy as np
+
+    from hybvio_tpu.config import Parameters
+    from hybvio_tpu.config.loader import set_key_value
+    from hybvio_tpu.geometry.poses import vec2matrix
+
+    p = Parameters()
+    base = np.eye(4)
+    base[:3, 3] = [0.1, 0.2, 0.3]
+    p.odometry.imuToCameraMatrix = tuple(base.T.flatten())
+    set_key_value(p, "videoRotation", "CW90")
+    m = np.asarray(vec2matrix(p.odometry.imuToCameraMatrix))
+    np.testing.assert_allclose(m[:2, :2], [[0, 1], [-1, 0]], atol=1e-12)
+    np.testing.assert_allclose(m[:3, 3], [0.1, 0.2, 0.3])  # translation kept
+    assert p.videoRotationSteps == 1
+    # cumulates: CW90 twice = CW180
+    set_key_value(p, "videoRotation", "CW90")
+    m = np.asarray(vec2matrix(p.odometry.imuToCameraMatrix))
+    np.testing.assert_allclose(m[:2, :2], [[-1, 0], [0, -1]], atol=1e-12)
+    assert p.videoRotationSteps == 2
