@@ -75,11 +75,17 @@ def augment_pose(s: EKFState, dropped_pose_index, params) -> EKFState:
     from .update import solve_innovation
 
     Kg = solve_innovation(S, HP).T  # (d, 7)
-    m = m + Kg @ (-(H @ m))
+    m_new = m + Kg @ (-(H @ m))
 
     # Joseph form (reference: updateCommonJosephForm, ekf.cpp:35-50)
     IKH = jnp.eye(d, dtype=dtype) - pdot(Kg, H)
-    P = pdot(pdot(IKH, P), IKH.T) + pdot(pdot(Kg, R), Kg.T)
+    P_new = pdot(pdot(IKH, P), IKH.T) + pdot(pdot(Kg, R), Kg.T)
+    # a degenerate S (f32 rounding pushed P indefinite) must not NaN the
+    # filter: fall back to the permuted state with the Qaug prior (the clone
+    # constraint is then enforced only softly by later updates)
+    ok = jnp.isfinite(m_new).all() & jnp.isfinite(P_new).all()
+    m = jnp.where(ok, m_new, m)
+    P = jnp.where(ok, P_new, P)
     P = 0.5 * (P + P.T)
     m = normalize_quaternions(m, L)
 
