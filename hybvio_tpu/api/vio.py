@@ -129,18 +129,30 @@ class VioApi:
                 self.recorder.acc(t, xyz)
             self.sample_sync.add_sample_follower(t, xyz)
 
+    @staticmethod
+    def _to_gray(image) -> np.ndarray:
+        a = np.asarray(image)
+        if a.ndim == 3 and a.shape[-1] in (3, 4):
+            # color input -> reference luma conversion (image.cpp:345-367)
+            from ..frontend.image_utils import rgb_to_gray
+
+            return rgb_to_gray(a[..., :3])
+        if a.dtype == np.uint8:
+            return a.astype(np.float32) / 255.0
+        return a
+
     def add_frame_mono(self, t: float, image) -> None:
         with self._lock:
             if self.recorder:
                 self.recorder.frame(t, [image])
-            self.sample_sync.add_frame(t, first_image=np.asarray(image))
+            self.sample_sync.add_frame(t, first_image=self._to_gray(image))
 
     def add_frame_stereo(self, t: float, first, second) -> None:
         with self._lock:
             if self.recorder:
                 self.recorder.frame(t, [first, second])
-            self.sample_sync.add_frame(t, first_image=np.asarray(first),
-                                       second_image=np.asarray(second))
+            self.sample_sync.add_frame(t, first_image=self._to_gray(first),
+                                       second_image=self._to_gray(second))
 
     def add_echo(self, raw: dict) -> None:
         """Ingest an auxiliary pose line from the input (groundTruth / ARKit /

@@ -122,6 +122,24 @@ def run(argv=None) -> int:
         frames = open_frame_source(src_path)
         H, W = frames.shape
 
+    # per-frame intrinsics embedded in data.jsonl (reference: the first
+    # frame's cameraParameters configure the camera, api.cpp:528-628 via
+    # input_jsonl.cpp:119-199) — applied only when not set by other sources
+    if not euroc_dir and params.tracker.focalLength < 0 \
+            and params.tracker.focalLengthX < 0:
+        for ev in jio.read_jsonl_events(data_jsonl):
+            if ev.kind == jio.FRAME and ev.frames:
+                fr = ev.frames[0]
+                if fr.focal_length_x > 0:
+                    params.tracker.focalLengthX = fr.focal_length_x
+                    params.tracker.focalLengthY = (
+                        fr.focal_length_y if fr.focal_length_y > 0
+                        else fr.focal_length_x)
+                    if fr.principal_point_x >= 0:
+                        params.tracker.principalPointX = fr.principal_point_x
+                        params.tracker.principalPointY = fr.principal_point_y
+                break
+
     # videoRotation: rotate incoming frames (the imuToCamera adjustment was
     # applied during parameter parsing; reference: parameters_base.cpp:38-66)
     rot_steps = getattr(params, "videoRotationSteps", 0) % 4

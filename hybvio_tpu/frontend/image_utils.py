@@ -29,3 +29,15 @@ def match_intensities(target_like: jnp.ndarray, img: jnp.ndarray,
     matched = (img - mi) * (st / si) + mt
     out = img + strength * (matched - img)
     return jnp.clip(out, 0.0, 1.0)
+
+
+def rgb_to_gray(img):
+    """Color -> gray with the reference's luma weights 0.299/0.587/0.114
+    (reference: Image factory conversion op, image.cpp:345-367).
+    img: (..., H, W, 3) in [0, 1] or uint8; returns float in [0, 1]."""
+    import numpy as np
+
+    a = np.asarray(img)
+    if a.dtype == np.uint8:
+        a = a.astype(np.float32) / 255.0
+    return (0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2])
