@@ -54,13 +54,17 @@ def run(argv=None) -> int:
         body = a.lstrip("-")
         k, _, v = body.partition("=")
         if k in ("i", "o", "p", "c", "maxFrames", "timer", "recordDir",
-                 "outputType", "slamMapPosesPath"):
+                 "outputType", "slamMapPosesPath", "v"):
             main_flags[k] = v if v else "true"
         else:
             rest.append(a)
     if "i" not in main_flags:
         print(__doc__)
         return 2
+
+    from ..utils.logging import setup_logging
+
+    setup_logging(int(main_flags.get("v", "0") if main_flags.get("v", "0") != "true" else 1))
 
     dataset = main_flags["i"]
     data_jsonl = os.path.join(dataset, "data.jsonl")

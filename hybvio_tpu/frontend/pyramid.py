@@ -36,8 +36,23 @@ def _sep_conv2d(img: jnp.ndarray, kx: np.ndarray, ky: np.ndarray) -> jnp.ndarray
     return x
 
 
+USE_PALLAS = True  # fused kernels on TPU (ops/pyramid_pallas.py)
+
+
+def _pallas_ok(img) -> bool:
+    if not USE_PALLAS or img.ndim != 2 or jax.default_backend() != "tpu":
+        return False
+    from ..ops.pyramid_pallas import PALLAS_AVAILABLE
+
+    return PALLAS_AVAILABLE
+
+
 def pyr_down(img: jnp.ndarray) -> jnp.ndarray:
     """One pyramid level down: Gaussian blur + 2x decimation (cv::pyrDown)."""
+    if _pallas_ok(img):
+        from ..ops.pyramid_pallas import pyr_down_pallas
+
+        return pyr_down_pallas(img)
     blurred = _sep_conv2d(img, _PYR_K, _PYR_K)
     return blurred[..., ::2, ::2]
 
@@ -52,6 +67,10 @@ def build_pyramid(img: jnp.ndarray, max_level: int) -> List[jnp.ndarray]:
 
 def scharr_gradients(img: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(Ix, Iy) via Scharr 3x3, OpenCV-compatible scaling."""
+    if _pallas_ok(img):
+        from ..ops.pyramid_pallas import scharr_pallas
+
+        return scharr_pallas(img)
     ix = _sep_conv2d(img, _SCHARR_D, _SCHARR_S)
     iy = _sep_conv2d(img, _SCHARR_S, _SCHARR_D)
     return ix, iy

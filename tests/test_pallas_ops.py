@@ -36,3 +36,36 @@ def test_corner_response_pallas_block5(hw=(96, 128)):
     m = 4
     np.testing.assert_allclose(out[m:-m, m:-m], ref[m:-m, m:-m],
                                rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.skipif(not PALLAS_AVAILABLE, reason="pallas not importable")
+@pytest.mark.parametrize("hw", [(120, 160), (97, 128)])
+def test_pyr_down_pallas_matches_xla(hw):
+    from hybvio_tpu.frontend.pyramid import pyr_down
+    from hybvio_tpu.ops.pyramid_pallas import pyr_down_pallas
+
+    h, w = hw
+    rng = np.random.RandomState(2)
+    img = jnp.asarray(rng.rand(h, w).astype(np.float32))
+    ref = np.asarray(pyr_down(img))
+    out = np.asarray(pyr_down_pallas(img, interpret=True))
+    assert out.shape == ref.shape
+    m = 2
+    np.testing.assert_allclose(out[m:-m, m:-m], ref[m:-m, m:-m],
+                               rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(not PALLAS_AVAILABLE, reason="pallas not importable")
+def test_scharr_pallas_matches_xla():
+    from hybvio_tpu.frontend.pyramid import scharr_gradients
+    from hybvio_tpu.ops.pyramid_pallas import scharr_pallas
+
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.rand(120, 160).astype(np.float32))
+    rx, ry = scharr_gradients(img)
+    gx, gy = scharr_pallas(img, interpret=True)
+    m = 2
+    np.testing.assert_allclose(np.asarray(gx)[m:-m, m:-m],
+                               np.asarray(rx)[m:-m, m:-m], rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(gy)[m:-m, m:-m],
+                               np.asarray(ry)[m:-m, m:-m], rtol=1e-5, atol=1e-6)
