@@ -11,7 +11,11 @@ Modes (env BENCH_MODE):
     (BASELINE.json config 5); reports AGGREGATE frames/sec/chip.
   single: one sequence; reports per-frame latency FPS.
 
-Env: BENCH_FRAMES (default 300), BENCH_BATCH (default 16).
+Configs (env BENCH_CONFIG): mono (default) | stereo | fisheye — the
+BASELINE.json configuration families on the same synthetic world.
+
+Env: BENCH_FRAMES (default 300), BENCH_BATCH (default 16),
+BENCH_LK_LEVELS/BENCH_LK_ITERS (LK depth sweeps).
 Runs on whatever jax.default_backend() provides (the TPU chip under the
 driver; CPU locally with JAX_PLATFORMS=cpu). Uses float32 on device.
 """
@@ -21,6 +25,100 @@ import sys
 import time
 
 import numpy as np
+
+STEREO_BASELINE = 0.11
+KB4 = (0.0035, 0.0007, -0.002, 0.0002)
+
+
+def build_config(config, jnp):
+    """(params, cameras, render_fn, seq_kwargs) for a BASELINE config family.
+    render_fn(seq, fi) -> image or (left, right)."""
+    from hybvio_tpu.config import Parameters
+    from hybvio_tpu.geometry.cameras import build_fisheye, build_pinhole
+    from hybvio_tpu.io.synthetic import (
+        SYNTH_IMU_TO_CAMERA, render_view, render_view_fisheye,
+    )
+
+    dtype = jnp.float32
+    p = Parameters()
+    p.odometry.cameraTrailLength = 12
+    p.tracker.maxTracks = 96
+    p.tracker.pyrLKWindowSize = 15
+    # LK depth/iterations tuned for TPU: the odometry-predicted flow guesses
+    # carry the large-motion load, so 3 pyramid levels + 8 iterations match
+    # the 4-level/20-iter ATE at ~1.8x the single-seq throughput.
+    # Sweep: BENCH_LK_LEVELS=1 (2 levels) reaches ~260 FPS/chip batched with
+    # ATE 0.0051 on this sequence, with less margin for fast motion.
+    p.tracker.pyrLKMaxLevel = int(os.environ.get("BENCH_LK_LEVELS", "2"))
+    p.tracker.pyrLKMaxIter = int(os.environ.get("BENCH_LK_ITERS", "8"))
+    p.tracker.gfttMinDistance = 35.0
+    p.odometry.imuToCameraMatrix = tuple(SYNTH_IMU_TO_CAMERA.T.flatten())
+    p.odometry.visualR = 0.3  # matched to the front-end's LK noise on renders
+    p.odometry.batchVisualUpdate = True  # parallel visual updates (TPU fast path)
+    seq_kwargs = dict(n_landmarks=500, gyro_noise=5e-4, acc_noise=5e-3, seed=0)
+
+    if config == "fisheye":
+        # BASELINE config 4 family: KB4 fisheye (TUM-VI-like wide FOV)
+        W, H = 512, 512
+        FX = 190.0
+        p.tracker.fisheyeCamera = True
+        p.tracker.validCameraFov = 150.0
+        p.tracker.focalLength = FX
+        p.tracker.principalPointX = W / 2
+        p.tracker.principalPointY = H / 2
+        p.tracker.distortionCoeffs = KB4
+        p.odometry.visualR = 0.4
+        seq_kwargs["landmark_radius"] = 5.0
+        cam = build_fisheye(FX, FX, W / 2, H / 2, coeffs=KB4,
+                            max_valid_fov_deg=150.0, width=W, height=H,
+                            dtype=dtype)
+        cams = (cam,)
+
+        def render(seq, fi):
+            k = seq.frame_sample_idx[fi]
+            return render_view_fisheye(
+                seq.landmarks, seq.pos[k], seq.quat[k], SYNTH_IMU_TO_CAMERA,
+                FX, FX, W / 2, H / 2, W, H, KB4, max_fov_deg=150.0,
+                blob_sigma=1.4)
+
+        return p, cams, render, seq_kwargs
+
+    # EuRoC-like pinhole (mono = BASELINE config 1, stereo = config 2)
+    W, H = 752, 480
+    FX = 458.0
+    p.tracker.focalLength = FX
+    p.tracker.principalPointX = W / 2
+    p.tracker.principalPointY = H / 2
+    cam = build_pinhole(FX, FX, W / 2, H / 2, width=W, height=H, dtype=dtype)
+
+    if config == "stereo":
+        from hybvio_tpu.io.synthetic import SYNTH_IMU_TO_CAMERA as I2C
+
+        second = np.asarray(I2C).copy()
+        second[0, 3] = -STEREO_BASELINE
+        p.tracker.useStereo = True
+        p.odometry.secondImuToCameraMatrix = tuple(second.T.flatten())
+        cams = (cam, cam)
+
+        def render(seq, fi):
+            k = seq.frame_sample_idx[fi]
+            left = render_view(seq.landmarks, seq.pos[k], seq.quat[k],
+                               SYNTH_IMU_TO_CAMERA, FX, FX, W / 2, H / 2,
+                               W, H, blob_sigma=1.4)
+            right = render_view(seq.landmarks, seq.pos[k], seq.quat[k],
+                                second, FX, FX, W / 2, H / 2, W, H,
+                                blob_sigma=1.4)
+            return left, right
+
+        return p, cams, render, seq_kwargs
+
+    def render(seq, fi):
+        k = seq.frame_sample_idx[fi]
+        return render_view(seq.landmarks, seq.pos[k], seq.quat[k],
+                           SYNTH_IMU_TO_CAMERA, FX, FX, W / 2, H / 2, W, H,
+                           blob_sigma=1.4)
+
+    return p, (cam,), render, seq_kwargs
 
 
 def main():
@@ -35,70 +133,47 @@ def main():
         pass
 
     # Full-f32 matmuls everywhere: the EKF cannot survive bf16 mantissas,
-    # and with the shallow-LK front-end (below) the matmul load is small
-    # enough that 'highest' costs ~1% vs 'high' while 'high' was observed to
-    # destabilize one long sequence (decision-boundary chi2 flips).
+    # and with the shallow-LK front-end the matmul load is small enough that
+    # 'highest' costs ~1% vs 'high' while 'high' was observed to destabilize
+    # one long sequence (decision-boundary chi2 flips).
     jax.config.update("jax_default_matmul_precision", "highest")
 
-    from hybvio_tpu.config import DerivedParameters, Parameters
+    from hybvio_tpu.config import DerivedParameters
     from hybvio_tpu.eval.ate import ate_rmse
-    from hybvio_tpu.geometry.cameras import build_pinhole
-    from hybvio_tpu.io.synthetic import (
-        SYNTH_IMU_TO_CAMERA, generate_sequence, render_view,
-    )
+    from hybvio_tpu.io.synthetic import generate_sequence
     from hybvio_tpu.odometry.backend import ImuBatch
     from hybvio_tpu.odometry.vio import make_vio
 
-    # EuRoC-like mono VIO configuration (BASELINE.json config 1)
-    W, H = 752, 480
-    FX = FY = 458.0
     n_frames = int(os.environ.get("BENCH_FRAMES", "300"))
     mode = os.environ.get("BENCH_MODE", "batched")
+    config = os.environ.get("BENCH_CONFIG", "mono")
     B = int(os.environ.get("BENCH_BATCH", "16"))
     duration = n_frames / 20.0
     dtype = jnp.float32
 
-    p = Parameters()
-    p.odometry.cameraTrailLength = 12
-    p.tracker.maxTracks = 96
-    p.tracker.focalLength = FX
-    p.tracker.principalPointX = W / 2
-    p.tracker.principalPointY = H / 2
-    p.tracker.pyrLKWindowSize = 15
-    # LK depth/iterations tuned for TPU: the odometry-predicted flow guesses
-    # carry the large-motion load, so 3 pyramid levels + 8 iterations match
-    # the 4-level/20-iter ATE at ~1.8x the single-seq throughput.
-    # Sweep: BENCH_LK_LEVELS=1 (2 levels) reaches ~260 FPS/chip batched with
-    # ATE 0.0064 on this sequence, with less margin for fast motion.
-    p.tracker.pyrLKMaxLevel = int(os.environ.get("BENCH_LK_LEVELS", "2"))
-    p.tracker.pyrLKMaxIter = int(os.environ.get("BENCH_LK_ITERS", "8"))
-    p.tracker.gfttMinDistance = 35.0
-    p.odometry.imuToCameraMatrix = tuple(SYNTH_IMU_TO_CAMERA.T.flatten())
-    p.odometry.visualR = 0.3  # matched to the front-end's LK noise on renders
-    p.odometry.batchVisualUpdate = True  # parallel visual updates (TPU fast path)
+    p, cams, render, seq_kwargs = build_config(config, jnp)
     derived = DerivedParameters.from_parameters(p)
-    cam = build_pinhole(FX, FY, W / 2, H / 2, width=W, height=H, dtype=dtype)
 
-    seq = generate_sequence(
-        duration=duration, imu_rate=200.0, frame_rate=20.0,
-        n_landmarks=500, gyro_noise=5e-4, acc_noise=5e-3, seed=0)
-
-    def render(fi):
-        k = seq.frame_sample_idx[fi]
-        return render_view(seq.landmarks, seq.pos[k], seq.quat[k],
-                           SYNTH_IMU_TO_CAMERA, FX, FY, W / 2, H / 2, W, H,
-                           blob_sigma=1.4)
+    seq = generate_sequence(duration=duration, imu_rate=200.0,
+                            frame_rate=20.0, **seq_kwargs)
 
     F = min(n_frames, len(seq.frame_sample_idx))
+
+    def stage(frame):
+        if isinstance(frame, tuple):
+            return tuple(jax.device_put(jnp.asarray(f, dtype)) for f in frame)
+        return jax.device_put(jnp.asarray(frame, dtype))
+
     # pre-stage frames on device: the timed loop measures the pipeline, not
     # the H2D tunnel (the reference's video reader threads hide decode/upload
     # the same way; see io/video.py PrefetchingSource for the live path)
-    frames = [jax.device_put(jnp.asarray(render(fi), dtype)) for fi in range(F)]
+    frames = [stage(render(seq, fi)) for fi in range(F)]
 
     if mode == "batched":
-        return run_batched(p, derived, cam, seq, frames, F, B, dtype)
+        return run_batched(p, derived, cams, seq, frames, F, B, dtype, config)
 
-    init_fn, vio_step = make_vio(p, derived, (cam,), max_tracks=p.tracker.maxTracks, dtype=dtype)
+    init_fn, vio_step = make_vio(p, derived, cams,
+                                 max_tracks=p.tracker.maxTracks, dtype=dtype)
     vio_step = jax.jit(vio_step)
 
     S_max = int(np.max(np.diff(np.concatenate([[0], seq.frame_sample_idx + 1]))))
@@ -140,7 +215,7 @@ def main():
     ate = ate_rmse(est, gt) if np.isfinite(est).all() else float("nan")
 
     result = {
-        "metric": "synthetic_mono_vio_fps_per_chip",
+        "metric": f"synthetic_{config}_vio_fps_per_chip",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 200.0, 4),
@@ -154,7 +229,7 @@ def main():
     print(json.dumps(result))
 
 
-def run_batched(p, derived, cam, seq, frames, F, B, dtype):
+def run_batched(p, derived, cams, seq, frames, F, B, dtype, config):
     """Batched offline benchmark: B sequences in parallel on one chip
     (the per-chip throughput mode; cross-sequence batching is the designed
     TPU scaling axis, SURVEY.md section 2). For benchmarking, the B lanes
@@ -171,13 +246,20 @@ def run_batched(p, derived, cam, seq, frames, F, B, dtype):
     from hybvio_tpu.parallel.batched import make_batched_vio
 
     batched_init, batched_step = make_batched_vio(
-        p, derived, (cam,), batch_size=B, max_tracks=p.tracker.maxTracks,
+        p, derived, cams, batch_size=B, max_tracks=p.tracker.maxTracks,
         dtype=dtype)
 
     rng = np.random.RandomState(1)
-    frames = [jax.device_put(jnp.broadcast_to(f, (B,) + f.shape)) for f in frames]
-    imgs0 = frames[0]
-    states = batched_init(imgs0, np.full(B, float(seq.frame_times[0])), np.arange(B))
+
+    def tile(frame):
+        if isinstance(frame, tuple):
+            return tuple(jax.device_put(jnp.broadcast_to(f, (B,) + f.shape))
+                         for f in frame)
+        return jax.device_put(jnp.broadcast_to(frame, (B,) + frame.shape))
+
+    frames = [tile(f) for f in frames]
+    states = batched_init(frames[0], np.full(B, float(seq.frame_times[0])),
+                          np.arange(B))
 
     S_max = int(np.max(np.diff(np.concatenate([[0], seq.frame_sample_idx + 1]))))
 
@@ -219,7 +301,7 @@ def run_batched(p, derived, cam, seq, frames, F, B, dtype):
         if np.isfinite(lane).all():
             ates.append(ate_rmse(lane, gt))
     result = {
-        "metric": "synthetic_mono_vio_batched_fps_per_chip",
+        "metric": f"synthetic_{config}_vio_batched_fps_per_chip",
         "value": round(agg_fps, 2),
         "unit": "frames/s/chip (aggregate, B=%d)" % B,
         "vs_baseline": round(agg_fps / 200.0, 4),

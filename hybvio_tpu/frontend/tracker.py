@@ -125,9 +125,18 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
         """Left->right LK + epipolar-curve validation (reference:
         tracker.cpp:409-463 STEREO flow + markCornersFailedByEpipolarConstraint)."""
         g = pts_left if guesses is None else guesses
-        pts_right, status, _ = lk_track_pyramid(
-            left_pyr, left_grads, right_pyr, pts_left, initial_pts=g,
-            params=lk_params)
+        if guesses is not None and lk_params.max_level > 1:
+            # with a predicted disparity guess the residual search range is
+            # small; a 2-level LK converges (TPU: skips the deep-level sweeps)
+            nl = 2
+            sm_params = lk_params._replace(max_level=nl - 1)
+            pts_right, status, _ = lk_track_pyramid(
+                left_pyr[:nl], left_grads[:nl], right_pyr[:nl], pts_left,
+                initial_pts=g, params=sm_params)
+        else:
+            pts_right, status, _ = lk_track_pyramid(
+                left_pyr, left_grads, right_pyr, pts_left, initial_pts=g,
+                params=lk_params)
         ok = valid & (status == FLOW_OK)
         if pt.maxStereoEpipolarDistance > 0:
             from .stereo import epipolar_check

@@ -172,7 +172,17 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=jnp.float64,
         rc = transform_vec3(world_to_cam, pw)
         pix1, ok1 = ray_to_pixel(cam0, rc)
         guess = jnp.where((ok0 & ok1)[:, None], pix1, prev_px)
-        return guess.astype(jnp.float32)
+        if not use_stereo:
+            return guess.astype(jnp.float32), None
+        # stereo: also reproject the same world point into the SECOND camera
+        # as the left->right matching guess (reference: tracker.cpp:409-463
+        # uses predicted flow for the stereo pass as well)
+        i2c2 = jnp.asarray(derived.second_imu_to_camera, dtype=dtype)
+        world_to_cam2 = to_world_to_camera(m[POS:POS + 3], m[ORI:ORI + 4], i2c2)
+        rc2 = transform_vec3(world_to_cam2, pw)
+        pix2, ok2 = ray_to_pixel(cameras[1], rc2)
+        guess2 = jnp.where((ok0 & ok2)[:, None], pix2, guess)
+        return guess.astype(jnp.float32), guess2.astype(jnp.float32)
 
     def vio_step(state: VioState, imu: ImuBatch, image, second_image=None):
         # IMU propagation first so the flow prediction uses the pose at the
@@ -184,9 +194,9 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=jnp.float64,
             image, second_image = rectify_inputs(image, second_image)
         bstate = frame_step.imu_scan(state.backend, imu)
         if pt.predictOpticalFlow:
-            guess = predict_flow(bstate, state.tracker)
+            guess, stereo_guess = predict_flow(bstate, state.tracker)
         else:
-            guess = None
+            guess, stereo_guess = None, None
 
         rng, tkey = jax.random.split(bstate.rng)
         bstate = bstate._replace(rng=rng)
@@ -206,6 +216,7 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=jnp.float64,
             blacklist_flags=bstate.blacklist_flags,
             blacklist_ids=bstate.blacklist_ids,
             second_image=second_image,
+            stereo_guess=stereo_guess,
             pose_rot=pose_rot,
         )
         if dense_depth:

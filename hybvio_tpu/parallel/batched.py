@@ -29,10 +29,15 @@ def make_batched_vio(params, derived, cameras, batch_size: int,
                                  max_tracks=max_tracks, dtype=dtype)
 
     def batched_init(first_images, t0s, seeds):
-        """first_images: (B, H, W); t0s: (B,); seeds: (B,) int."""
+        """first_images: (B, H, W) or a ((B,H,W), (B,H,W)) stereo pair;
+        t0s: (B,); seeds: (B,) int."""
         keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds, jnp.uint32))
+        if isinstance(first_images, (tuple, list)):
+            imgs = tuple(jnp.asarray(f) for f in first_images)
+        else:
+            imgs = jnp.asarray(first_images)
         states = jax.vmap(lambda img, t0, k: init_fn(img, t0, k))(
-            jnp.asarray(first_images), jnp.asarray(t0s, dtype), keys)
+            imgs, jnp.asarray(t0s, dtype), keys)
         if mesh is not None:
             sharding = NamedSharding(mesh, P("data"))
             states = jax.device_put(states, sharding)
