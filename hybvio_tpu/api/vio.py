@@ -101,6 +101,15 @@ class VioApi:
         self._threshold_warned = 0.01
         self._frame_count = 0
 
+        # latency-smoothing output buffer (reference: api::OutputBuffer,
+        # output_buffer.hpp; active when targetOutputDelaySeconds > 0)
+        self.output_buffer = None
+        if params.odometry.targetOutputDelaySeconds > 0:
+            from .output_buffer import OutputBuffer
+
+            self.output_buffer = OutputBuffer(
+                params.odometry.targetOutputDelaySeconds)
+
         # optional odometry worker thread (reference: processingQueueSize)
         self._queue = None
         self._worker = None
@@ -189,6 +198,10 @@ class VioApi:
             self._queue.put(None)
             self._worker.join(timeout=30)
             self._queue = None
+        if self.output_buffer is not None and self.on_output:
+            # drain outputs still held for their scheduled emit time
+            while self.output_buffer.buf:
+                self.on_output(self.output_buffer.buf.popleft())
         if self.slam is not None:
             self.slam.finish(map_save_path=slam_map_poses_path)
         if self.recorder is not None:
@@ -342,7 +355,15 @@ class VioApi:
                     vo.position, vo.orientation, vo.velocity = self._frozen
                 elif vo.status != 2:
                     self._frozen = (vo.position, vo.orientation, vo.velocity)
-            self.on_output(vo)
+            if self.output_buffer is not None:
+                self.output_buffer.add_processed_frame(vo)
+                while True:
+                    buffered = self.output_buffer.poll_output()
+                    if buffered is None:
+                        break
+                    self.on_output(buffered)
+            else:
+                self.on_output(vo)
 
     def _handle_status_and_reset(self, out) -> None:
         """Auto-reset logic (reference: control.cpp:117-150)."""

@@ -63,3 +63,35 @@ def test_visual_update_stats():
     line = s.finish_frame()
     assert "used=3" in line and "outlier_chi2=1" in line
     assert "3" in s.report()
+
+
+def test_output_buffer_in_api():
+    """targetOutputDelaySeconds routes outputs through the smoothing buffer
+    (reference: api::OutputBuffer); finish() drains held outputs."""
+    from hybvio_tpu.api.vio import VioApi
+    from hybvio_tpu.config import Parameters
+
+    p = Parameters()
+    p.odometry.targetOutputDelaySeconds = 60.0  # hold everything until finish
+    p.tracker.maxTracks = 8
+    p.odometry.cameraTrailLength = 4
+    p.tracker.focalLength = 80.0
+    p.tracker.principalPointX = 48.0
+    p.tracker.principalPointY = 32.0
+    p.tracker.pyrLKWindowSize = 9
+    p.tracker.pyrLKMaxLevel = 1
+    api = VioApi(p, 96, 64)
+    outs = []
+    api.on_output = outs.append
+    rng = np.random.RandomState(0)
+    t = 0.0
+    for k in range(40):
+        t += 0.005
+        api.add_gyro(t, (0.01, 0.0, 0.0))
+        api.add_acc(t, (0.0, 0.0, 9.81))
+        if k % 10 == 5:
+            api.add_frame_mono(t, rng.rand(64, 96).astype(np.float32))
+    assert len(outs) == 0  # everything held by the 60 s delay
+    assert api.output_buffer is not None and len(api.output_buffer.buf) >= 2
+    api.finish()
+    assert len(outs) >= 2  # drained
