@@ -29,9 +29,9 @@ class Ransac2Result(NamedTuple):
     score: jnp.ndarray  # () inlier fraction among tracked
 
 
-def _kabsch(p1, p2, w):
-    """Rotation minimizing sum w_i |p2_i - R p1_i|^2 (reference:
-    solveRotation, rot_ransac.cpp:141-167, Kanatani 1994)."""
+def _kabsch_svd(p1, p2, w):
+    """SVD Kabsch (reference: solveRotation, rot_ransac.cpp:141-167,
+    Kanatani 1994). Kept as the reference implementation / test oracle."""
     Hm = jnp.einsum("n,ni,nj->ij", w, p1, p2)
     U, _, Vt = jnp.linalg.svd(Hm)
     det = jnp.linalg.det(Vt.T @ U.T)
@@ -39,6 +39,43 @@ def _kabsch(p1, p2, w):
     # guard: sign(0) = 0 would zero a row; treat as +1
     D = jnp.where(det == 0, jnp.eye(3, dtype=Hm.dtype), D)
     return Vt.T @ D @ U.T
+
+
+def _rotation_from_cross_cov(Hm, n_power_iters: int = 30):
+    """Rotation maximizing tr(R Hm) with Hm = sum w p1 p2^T via Horn's
+    quaternion method (Horn 1987): the optimal unit quaternion is the
+    largest eigenvector of a symmetric 4x4 built from Hm, found here by
+    power iteration — TPU-friendly (pure matmuls), unlike vmapped 3x3 SVDs.
+    Returns R with R p1 ~ p2."""
+    dtype = Hm.dtype
+    S = Hm
+    tr = S[0, 0] + S[1, 1] + S[2, 2]
+    N = jnp.asarray([
+        [tr, S[1, 2] - S[2, 1], S[2, 0] - S[0, 2], S[0, 1] - S[1, 0]],
+        [S[1, 2] - S[2, 1], 2 * S[0, 0] - tr, S[0, 1] + S[1, 0], S[2, 0] + S[0, 2]],
+        [S[2, 0] - S[0, 2], S[0, 1] + S[1, 0], 2 * S[1, 1] - tr, S[1, 2] + S[2, 1]],
+        [S[0, 1] - S[1, 0], S[2, 0] + S[0, 2], S[1, 2] + S[2, 1], 2 * S[2, 2] - tr],
+    ], dtype)
+    # shift so all eigenvalues are positive and the max dominates
+    shift = jnp.sqrt(jnp.sum(N * N)) + 1e-12
+    M = N + shift * jnp.eye(4, dtype=dtype)
+    # M^(2^7) v by repeated squaring (renormalized) == 128 power iterations
+    # in 7 4x4 matmuls — fully unrolled, no sequential loop on device
+    for _ in range(7):
+        M = M @ M
+        M = M / jnp.maximum(jnp.sqrt(jnp.sum(M * M)), 1e-30)
+    q = M @ (jnp.ones((4,), dtype) * 0.5)  # (w, x, y, z)
+    q = q / jnp.maximum(jnp.linalg.norm(q), 1e-20)
+    from ..geometry.quaternion import quat_to_rmat
+
+    return quat_to_rmat(q)
+
+
+def _kabsch(p1, p2, w):
+    """Rotation minimizing sum w_i |p2_i - R p1_i|^2 (Horn quaternion form;
+    see _rotation_from_cross_cov; SVD oracle in _kabsch_svd)."""
+    Hm = jnp.einsum("n,ni,nj->ij", w, p1, p2)
+    return _rotation_from_cross_cov(Hm)
 
 
 def ransac2(
