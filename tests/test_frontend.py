@@ -184,3 +184,21 @@ def test_stereo_upright_2p():
     inl = np.asarray(res.inliers)
     assert inl[~out].mean() > 0.9
     assert inl[out].mean() < 0.3
+
+
+def test_horn_rotation_matches_svd_kabsch():
+    """Horn quaternion rotation (power iteration) == SVD Kabsch oracle."""
+    from scipy.spatial.transform import Rotation as Rot
+
+    from hybvio_tpu.frontend.ransac import _kabsch, _kabsch_svd
+
+    rng = np.random.RandomState(3)
+    for _ in range(10):
+        R_true = Rot.random(random_state=rng).as_matrix()
+        a = rng.randn(8, 3)
+        b = a @ R_true.T + rng.randn(8, 3) * 0.01
+        w = jnp.ones(8)
+        R1 = np.asarray(_kabsch(jnp.asarray(a), jnp.asarray(b), w))
+        R2 = np.asarray(_kabsch_svd(jnp.asarray(a), jnp.asarray(b), w))
+        np.testing.assert_allclose(R1, R2, atol=1e-6)
+        np.testing.assert_allclose(R1 @ R1.T, np.eye(3), atol=1e-6)
