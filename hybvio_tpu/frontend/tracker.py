@@ -219,9 +219,23 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
         n1, ok_n1 = _norm_px(cam0, prev_px)
         n2, ok_n2 = _norm_px(cam0, new_px)
         valid_n = tracked & ok_n1 & ok_n2
-        hr = hybrid_ransac(cam0, cam0, prev_px, new_px, n1, n2,
-                           valid_n, r_key, pt,
-                           ransac2_threshold, ransac5_threshold)
+        stereo_pose_ransac = use_stereo and (
+            pt.useRansac3 or (pt.useStereoUpright2p and pose_rot is not None))
+        if stereo_pose_ransac:
+            # reference dispatch (ransac_pipeline.cpp:121-133): with RANSAC3 /
+            # upright-2p active, the hybrid R2/R5 is NOT run — R2 alone still
+            # runs for the stationarity score
+            r2only = ransac2(cam0, cam0, prev_px, new_px, valid_n, r_key,
+                             ransac2_threshold)
+            from .ransac import HybridRansacResult
+
+            hr = HybridRansacResult(
+                inliers=r2only.inliers, score=r2only.score,
+                used_r5=jnp.zeros((), bool), skipped=jnp.sum(valid_n) < 2)
+        else:
+            hr = hybrid_ransac(cam0, cam0, prev_px, new_px, n1, n2,
+                               valid_n, r_key, pt,
+                               ransac2_threshold, ransac5_threshold)
         ransac_inliers = hr.inliers
         ransac_skipped = hr.skipped
         if use_stereo and pt.useRansac3:
