@@ -86,14 +86,9 @@ def detect_fast(img: jnp.ndarray, n_out: int, existing_xy: jnp.ndarray,
     cand_ok = jnp.isfinite(top_scores) & ~near_exist
     min_d2 = min_distance * min_distance
     d2 = jnp.sum((top_xy[:, None, :] - top_xy[None, :, :]) ** 2, -1)
+    from .gftt import _greedy_select
 
-    def body(selected, i):
-        near_sel = jnp.any(selected & (d2[i] < min_d2))
-        take = cand_ok[i] & ~near_sel
-        return selected.at[i].set(take), take
-
-    _, taken = jax.lax.scan(body, jnp.zeros((k,), bool), jnp.arange(k),
-                            unroll=16)
+    taken = _greedy_select(d2, cand_ok, min_d2, k)
     order = jnp.argsort(~taken, stable=True)
     out_idx = order[:n_out]
     return top_xy[out_idx], top_scores[out_idx], taken[out_idx]

@@ -21,6 +21,25 @@ from .pyramid import box_filter, sobel_gradients
 USE_PALLAS = True  # fused kernel on TPU (ops/gftt_pallas.py); XLA elsewhere
 
 
+def _greedy_select(d2, cand_ok, min_d2: float, k: int):
+    """Greedy min-distance selection: on TPU the sequential loop runs inside
+    one Pallas kernel (ops/nms_pallas.py); elsewhere a lax.scan."""
+    if USE_PALLAS and jax.default_backend() == "tpu":
+        from ..ops.nms_pallas import PALLAS_AVAILABLE, greedy_min_distance_pallas
+
+        if PALLAS_AVAILABLE:
+            return greedy_min_distance_pallas(d2, cand_ok, min_d2)
+
+    def body(selected, i):
+        near_sel = jnp.any(selected & (d2[i] < min_d2))
+        take = cand_ok[i] & ~near_sel
+        return selected.at[i].set(take), take
+
+    _, taken = jax.lax.scan(body, jnp.zeros((k,), bool), jnp.arange(k),
+                            unroll=16)
+    return taken
+
+
 def corner_response(img: jnp.ndarray, block_size: int = 3) -> jnp.ndarray:
     """Shi-Tomasi min-eigenvalue response (reference: feature_detector.cpp:220-255).
 
@@ -123,16 +142,7 @@ def detect_corners(
     # greedy min-distance among candidates (response-ordered = top_k order)
     min_d2 = min_distance * min_distance
     d2 = jnp.sum((top_xy[:, None, :] - top_xy[None, :, :]) ** 2, axis=-1)
-
-    def body(selected, i):
-        near_sel = jnp.any(selected & (d2[i] < min_d2))
-        take = cand_ok[i] & ~near_sel
-        return selected.at[i].set(take), take
-
-    selected0 = jnp.zeros((k,), bool)
-    # unroll: the greedy pass is inherently sequential; unrolling fuses many
-    # tiny TPU loop iterations into fewer launches
-    _, taken = jax.lax.scan(body, selected0, jnp.arange(k), unroll=16)
+    taken = _greedy_select(d2, cand_ok, min_d2, k)
 
     # compact the first n_out taken candidates
     order = jnp.argsort(~taken, stable=True)  # taken first, in response order

@@ -112,6 +112,7 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
                 min_distance=min_distance,
                 block_size=pt.gfttBlockSize,
                 min_response=pt.gfttMinResponse,
+                n_candidates=128,  # top-128 spaced block maxima suffice
                 crop_fraction=pt.partOfImageToDetectFeatures,
             )
         if pt.subPixMaxIter > 0:
@@ -260,8 +261,12 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
                 return jnp.stack([idp[:, 0] * z, idp[:, 1] * z, z], axis=1)
 
             v3 = valid_n & ok1r & ok2r & okt1 & okt2 & (idp_prev[:, 2] > 1e-4) & (idp_cur[:, 2] > 1e-4)
+            # 64 vmapped hypotheses: stereo 3-point sampling at realistic
+            # inlier ratios saturates success probability well below the
+            # reference's adaptive cap (ransac3MaxIterations=500)
             r3 = ransac3(idp_to_xyz(idp_prev), idp_to_xyz(idp_cur), n2, v3,
-                         r3_key, error_thresh=pt.ransac3ErrorThresh)
+                         r3_key, error_thresh=pt.ransac3ErrorThresh,
+                         max_iters=64)
             frac3 = r3.inlier_count / jnp.maximum(jnp.sum(valid_n), 1).astype(img.dtype)
             r3_good = r3.ok & (frac3 >= pt.ransacMinInlierFraction)
             ransac_inliers = jnp.where(r3_good, r3.inliers, ransac_inliers)

@@ -69,3 +69,28 @@ def test_scharr_pallas_matches_xla():
                                np.asarray(rx)[m:-m, m:-m], rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(gy)[m:-m, m:-m],
                                np.asarray(ry)[m:-m, m:-m], rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.skipif(not PALLAS_AVAILABLE, reason="pallas not importable")
+def test_greedy_nms_pallas_matches_scan():
+    from hybvio_tpu.ops.nms_pallas import greedy_min_distance_pallas
+
+    rng = np.random.RandomState(5)
+    k = 128
+    xy = rng.rand(k, 2) * 100
+    d2 = jnp.asarray(((xy[:, None] - xy[None]) ** 2).sum(-1))
+    ok = jnp.asarray(rng.rand(k) > 0.2)
+    min_d2 = 64.0
+
+    # scan oracle
+    import jax as _jax
+
+    def body(sel, i):
+        near = jnp.any(sel & (d2[i] < min_d2))
+        take = ok[i] & ~near
+        return sel.at[i].set(take), take
+
+    _, ref = _jax.lax.scan(body, jnp.zeros((k,), bool), jnp.arange(k))
+    out = greedy_min_distance_pallas(d2.astype(jnp.float32), ok, min_d2,
+                                     interpret=True)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
