@@ -353,8 +353,13 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
             img, px[:, 0, :], keep, ts.mask_scale, T)
         det_valid = det_valid & do_detect
         if use_stereo:
+            # fill-time stereo match with the shallow guided path (guess =
+            # zero disparity): 2-level LK catches ~+-30 px, i.e. depth down
+            # to ~f*baseline/30; nearer fills fail the epipolar gate and the
+            # slot retries next frame
             det_right, det_sok = stereo_match(
-                cur_pyr, cur_grads, right_pyr, det_xy, det_valid)
+                cur_pyr, cur_grads, right_pyr, det_xy, det_valid,
+                guesses=det_xy)
             det_valid = det_valid & det_sok
         # fill free slots with detections, in order
         free = ~keep
