@@ -105,7 +105,10 @@ def run(argv=None) -> int:
         apply_calibration_json(params, open(cpath).read())
     unparsed = apply_argv(params, rest)
     if unparsed:
-        print(f"warning: unrecognized arguments: {unparsed}", file=sys.stderr)
+        # unused-key error parity (reference: ParameterParser unused-key
+        # checking, src/util/parameter_parser.hpp:14-28)
+        print(f"error: unrecognized arguments: {unparsed}", file=sys.stderr)
+        return 2
 
     if euroc_dir:
         frames = None  # frames loaded lazily from the per-event image paths

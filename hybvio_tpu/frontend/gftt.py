@@ -128,7 +128,9 @@ def detect_corners(
     ok &= scores > min_response
     scores = jnp.where(ok, scores, -jnp.inf)
 
-    k = min(n_candidates, scores.shape[0])
+    # candidate pool must cover the requested output count (n_out > pool
+    # would silently truncate the output shape and break downstream masks)
+    k = min(max(n_candidates, n_out), scores.shape[0])
     top_scores, top_idx = jax.lax.top_k(scores, k)
     top_xy = xy[top_idx].astype(img.dtype)
 

@@ -41,11 +41,18 @@ def _kabsch_svd(p1, p2, w):
     return Vt.T @ D @ U.T
 
 
-def _rotation_from_cross_cov(Hm, n_power_iters: int = 30):
+def _rotation_from_cross_cov(Hm, n_newton_iters: int = 20):
     """Rotation maximizing tr(R Hm) with Hm = sum w p1 p2^T via Horn's
     quaternion method (Horn 1987): the optimal unit quaternion is the
-    largest eigenvector of a symmetric 4x4 built from Hm, found here by
-    power iteration — TPU-friendly (pure matmuls), unlike vmapped 3x3 SVDs.
+    top eigenvector of a symmetric trace-free 4x4 N built from Hm.
+
+    Eigensolve = QCP (Theobald 2005): Newton's iteration on the quartic
+    characteristic polynomial from the upper bound ||N||_F (monotone
+    convergence to the largest root), then the eigenvector as a column of
+    the Cayley-Hamilton adjugate of (N - lambda I), with a second-order
+    fallback when lambda_max has multiplicity 2 (degenerate 2-point sets
+    where any rotation in a 1-parameter family is cost-equivalent).
+    TPU-friendly — two 4x4 matmuls + scalar arithmetic, no SVD/eigh.
     Returns R with R p1 ~ p2."""
     dtype = Hm.dtype
     S = Hm
@@ -56,16 +63,58 @@ def _rotation_from_cross_cov(Hm, n_power_iters: int = 30):
         [S[2, 0] - S[0, 2], S[0, 1] + S[1, 0], 2 * S[1, 1] - tr, S[1, 2] + S[2, 1]],
         [S[0, 1] - S[1, 0], S[2, 0] + S[0, 2], S[1, 2] + S[2, 1], 2 * S[2, 2] - tr],
     ], dtype)
-    # shift so all eigenvalues are positive and the max dominates
-    shift = jnp.sqrt(jnp.sum(N * N)) + 1e-12
-    M = N + shift * jnp.eye(4, dtype=dtype)
-    # M^(2^7) v by repeated squaring (renormalized) == 128 power iterations
-    # in 7 4x4 matmuls — fully unrolled, no sequential loop on device
-    for _ in range(7):
-        M = M @ M
-        M = M / jnp.maximum(jnp.sqrt(jnp.sum(M * M)), 1e-30)
-    q = M @ (jnp.ones((4,), dtype) * 0.5)  # (w, x, y, z)
-    q = q / jnp.maximum(jnp.linalg.norm(q), 1e-20)
+    # scale so eigenvalues are O(1) (f32-safe polynomial arithmetic)
+    fnorm = jnp.sqrt(jnp.sum(N * N))
+    scale = jnp.maximum(fnorm, jnp.asarray(1e-30, dtype))
+    N = N / scale
+
+    # characteristic polynomial of N (symmetric, tr N = 0):
+    #   p(x) = x^4 + e2 x^2 - e3 x + e4   via Newton's identities
+    N2 = N @ N
+    p2 = jnp.trace(N2)  # tr(N^2)
+    p3 = jnp.sum(N2 * N)  # tr(N^3) (N symmetric)
+    p4 = jnp.sum(N2 * N2)  # tr(N^4)
+    e2 = -p2 / 2
+    e3 = p3 / 3
+    e4 = (p2 * p2 / 2 - p4) / 4
+
+    # Newton from above the largest root: x0 = ||N||_F >= lambda_max;
+    # a quartic with all-real roots is convex right of its largest root,
+    # so the iteration is monotone and cannot overshoot.
+    x = jnp.asarray(1.0, dtype)  # ||N/scale||_F == 1
+    for _ in range(n_newton_iters):
+        px = ((x * x + e2) * x - e3) * x + e4
+        dpx = (4 * x * x + 2 * e2) * x - e3
+        x = x - px / jnp.where(jnp.abs(dpx) < 1e-30, 1e-30, dpx)
+    lam = x
+
+    # eigenvector = column of adj(N - lam I), via Cayley-Hamilton:
+    # for A = N - lam I with char poly x^4 + a3 x^3 + a2 x^2 + a1 x + a0,
+    # B = A^3 + a3 A^2 + a2 A + a1 I has columns in null(A) (a0 = det A ~ 0).
+    A = N - lam * jnp.eye(4, dtype=dtype)
+    A2 = A @ A
+    A3 = A2 @ A
+    s1 = jnp.trace(A)
+    s2 = jnp.trace(A2)
+    s3 = jnp.sum(A2 * A)  # tr(A^3)
+    a3 = -s1
+    a2 = (s1 * s1 - s2) / 2
+    a1 = -(s1 ** 3 - 3 * s1 * s2 + 2 * s3) / 6
+    B = A3 + a3 * A2 + a2 * A + a1 * jnp.eye(4, dtype=dtype)
+    # multiplicity-2 fallback: C = A^2 - s1 A + a2 I maps onto the 2D
+    # null eigenspace when rank(A) == 2 (B ~ 0 there)
+    C = A2 - s1 * A + a2 * jnp.eye(4, dtype=dtype)
+
+    def best_column(M):
+        norms2 = jnp.sum(M * M, axis=0)
+        j = jnp.argmax(norms2)
+        return M[:, j], jnp.sqrt(norms2[j])
+
+    qB, nB = best_column(B)
+    qC, nC = best_column(C)
+    q = jnp.where(nB > 1e-6, qB / jnp.maximum(nB, 1e-30),
+                  jnp.where(nC > 1e-6, qC / jnp.maximum(nC, 1e-30),
+                            jnp.asarray([1.0, 0.0, 0.0, 0.0], dtype)))
     from ..geometry.quaternion import quat_to_rmat
 
     return quat_to_rmat(q)

@@ -65,9 +65,16 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
     min_dim = min(H, W)
     su = min_dim / 720.0  # reference scale unit (ransac_pipeline.cpp:86-88)
 
+    # clamp pyramid depth so every level fits the LK sampling patches
+    # (ps_c = window + 19; cv::buildOpticalFlowPyramid likewise stops once
+    # a level is smaller than the window)
+    _max_level = pt.pyrLKMaxLevel
+    while _max_level > 0 and (min_dim >> _max_level) < pt.pyrLKWindowSize + 19:
+        _max_level -= 1
+
     lk_params = LKParams(
         window_size=pt.pyrLKWindowSize,
-        max_level=pt.pyrLKMaxLevel,
+        max_level=_max_level,
         max_iter=pt.pyrLKMaxIter,
         epsilon=pt.pyrLKEpsilon,
         # reference threshold assumes 0..255 images; ours are 0..1

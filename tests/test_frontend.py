@@ -187,7 +187,7 @@ def test_stereo_upright_2p():
 
 
 def test_horn_rotation_matches_svd_kabsch():
-    """Horn quaternion rotation (power iteration) == SVD Kabsch oracle."""
+    """Horn quaternion rotation (QCP eigensolve) == SVD Kabsch oracle."""
     from scipy.spatial.transform import Rotation as Rot
 
     from hybvio_tpu.frontend.ransac import _kabsch, _kabsch_svd
@@ -202,3 +202,53 @@ def test_horn_rotation_matches_svd_kabsch():
         R2 = np.asarray(_kabsch_svd(jnp.asarray(a), jnp.asarray(b), w))
         np.testing.assert_allclose(R1, R2, atol=1e-6)
         np.testing.assert_allclose(R1 @ R1.T, np.eye(3), atol=1e-6)
+
+
+def test_horn_rotation_adversarial_cases():
+    """QCP eigensolve is robust where plain power iteration fails: optimal
+    quaternions (near-)orthogonal to any fixed start vector, tiny rotations,
+    180-degree rotations, small weights/scales, and 2-point minimal sets."""
+    from scipy.spatial.transform import Rotation as Rot
+
+    from hybvio_tpu.frontend.ransac import _kabsch, _kabsch_svd
+
+    rng = np.random.RandomState(7)
+
+    def cost(R, a, b, w):
+        return float(np.sum(w[:, None] * (b - a @ np.asarray(R).T) ** 2))
+
+    quats = [
+        np.array([0.5, -0.5, 0.5, -0.5]),  # exactly orthogonal to ones
+        np.array([0.5 + 1e-7, -0.5, 0.5, -0.5]),
+        np.array([1.0, 0.0, 0.0, 0.0]),  # identity rotation
+        np.array([1e-8, 1.0, 0.0, 0.0]),  # ~180 deg about x
+        np.array([np.cos(1e-6), np.sin(1e-6), 0.0, 0.0]),  # tiny rotation
+    ]
+    for q in quats:
+        q = q / np.linalg.norm(q)
+        # scipy uses xyzw order
+        R_true = Rot.from_quat([q[1], q[2], q[3], q[0]]).as_matrix()
+        for scale in (1.0, 1e-4, 1e4):
+            a = rng.randn(8, 3) * scale
+            b = a @ R_true.T
+            w = jnp.ones(8)
+            R1 = np.asarray(_kabsch(jnp.asarray(a), jnp.asarray(b), w))
+            np.testing.assert_allclose(R1 @ R1.T, np.eye(3), atol=1e-6)
+            np.testing.assert_allclose(R1, R_true, atol=1e-5)
+
+    # 2-point minimal sets (unit rays, as RANSAC2 uses): the optimum may be
+    # non-unique; require cost-equivalence with the SVD oracle + orthogonality
+    for _ in range(20):
+        a = rng.randn(2, 3)
+        a /= np.linalg.norm(a, axis=1, keepdims=True)
+        R_true = Rot.random(random_state=rng).as_matrix()
+        b = a @ R_true.T
+        w = jnp.ones(2)
+        R1 = np.asarray(_kabsch(jnp.asarray(a), jnp.asarray(b), w))
+        R2 = np.asarray(_kabsch_svd(jnp.asarray(a), jnp.asarray(b), w))
+        np.testing.assert_allclose(R1 @ R1.T, np.eye(3), atol=1e-6)
+        assert cost(R1, a, b, np.ones(2)) <= cost(R2, a, b, np.ones(2)) + 1e-8
+
+    # zero cross-covariance (no data): any rotation; must stay finite/orthogonal
+    R0 = np.asarray(_kabsch(jnp.zeros((2, 3)), jnp.zeros((2, 3)), jnp.zeros(2)))
+    np.testing.assert_allclose(R0 @ R0.T, np.eye(3), atol=1e-6)
