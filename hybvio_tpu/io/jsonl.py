@@ -54,7 +54,17 @@ class InputEvent:
 
 
 def read_jsonl_events(path: str) -> Iterator[InputEvent]:
-    """Stream events from a data.jsonl file (reference: InputJSONL::nextType)."""
+    """Stream events from a data.jsonl file (reference: InputJSONL::nextType).
+
+    Dispatches to the native (C++) bulk parser when built (the reference
+    parses input in C++ on the input thread, input_jsonl.cpp); this Python
+    loop is the behavioral spec and the fallback."""
+    from .native_jsonl import iter_events
+
+    native = iter_events(path)
+    if native is not None:
+        yield from native
+        return
     with open(path) as f:
         for line in f:
             line = line.strip()
