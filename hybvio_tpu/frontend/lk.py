@@ -44,13 +44,25 @@ def _window_offsets(window_size: int, dtype):
 def _gather_patches(img, centers, ps: int):
     """Extract (N, ps, ps) integer-aligned patches around centers (N,2).
 
-    Uses ONE dynamic-slice gather per feature (cheap, contiguous) instead of
-    per-pixel gathers; callers then sample bilinearly WITHIN these patches.
+    On TPU this is a Pallas DMA kernel (ops/patch_gather_pallas.py): the
+    vmapped dynamic-slice form lowers to an XLA gather that was measured at
+    60% of the whole stereo step. Elsewhere, one dynamic-slice per feature.
+    Callers then sample bilinearly WITHIN these patches.
     Returns (patches, corner (N,2) int patch origins)."""
     H, W = img.shape
     r = ps // 2
     cx = jnp.clip(jnp.floor(centers[:, 0]).astype(jnp.int32) - r, 0, W - ps)
     cy = jnp.clip(jnp.floor(centers[:, 1]).astype(jnp.int32) - r, 0, H - ps)
+
+    if jax.default_backend() == "tpu" and img.dtype == jnp.float32:
+        # the kernel's (8, 128) alignment algebra is f32-tile specific
+        from ..ops.patch_gather_pallas import (
+            PALLAS_AVAILABLE, gather_patches_pallas,
+        )
+
+        if PALLAS_AVAILABLE:
+            patches = gather_patches_pallas(img, cy, cx, ps)
+            return patches, jnp.stack([cx, cy], axis=1)
 
     def one(x0, y0):
         return jax.lax.dynamic_slice(img, (y0, x0), (ps, ps))

@@ -94,3 +94,52 @@ def test_greedy_nms_pallas_matches_scan():
     out = greedy_min_distance_pallas(d2.astype(jnp.float32), ok, min_d2,
                                      interpret=True)
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.skipif(not PALLAS_AVAILABLE, reason="pallas not importable")
+@pytest.mark.parametrize("ps", [13, 21])
+def test_patch_gather_pallas_matches_dynamic_slice(ps):
+    # tile-aligned dims so the interpreter's in-bounds DMAs match the TPU
+    # padded-layout reads (on hardware the block may cover XLA tile padding;
+    # the extracted window never does)
+    from hybvio_tpu.ops.patch_gather_pallas import _gather_batched
+
+    H, W = 128, 256
+    B, N = 2, 37
+    rng = np.random.RandomState(3)
+    img = jnp.asarray(rng.rand(B, H, W).astype(np.float32))
+    y0 = jnp.asarray(rng.randint(0, H - ps + 1, size=(B, N)), jnp.int32)
+    x0 = jnp.asarray(rng.randint(0, W - ps + 1, size=(B, N)), jnp.int32)
+    # include the extreme corners (clamp boundary cases)
+    y0 = y0.at[:, 0].set(0).at[:, 1].set(H - ps)
+    x0 = x0.at[:, 0].set(0).at[:, 1].set(W - ps)
+    out = np.asarray(_gather_batched(img, y0, x0, ps, interpret=True))
+    for b in range(B):
+        for n in range(N):
+            ref = img[b, int(y0[b, n]):int(y0[b, n]) + ps,
+                      int(x0[b, n]):int(x0[b, n]) + ps]
+            np.testing.assert_array_equal(out[b, n], np.asarray(ref))
+
+
+@pytest.mark.skipif(not PALLAS_AVAILABLE, reason="pallas not importable")
+def test_patch_gather_pallas_custom_vmap_rule(ps=15):
+    # the public wrapper under vmap must produce one batched launch with the
+    # same numbers as the per-item form
+    import jax
+
+    from hybvio_tpu.ops.patch_gather_pallas import _gather_batched
+
+    H, W = 64, 128
+    B, N = 3, 11
+    rng = np.random.RandomState(5)
+    img = jnp.asarray(rng.rand(B, H, W).astype(np.float32))
+    y0 = jnp.asarray(rng.randint(0, H - ps + 1, size=(B, N)), jnp.int32)
+    x0 = jnp.asarray(rng.randint(0, W - ps + 1, size=(B, N)), jnp.int32)
+    batched = np.asarray(_gather_batched(img, y0, x0, ps, interpret=True))
+
+    def one(im, yy, xx):
+        return jax.vmap(
+            lambda a, b: jax.lax.dynamic_slice(im, (a, b), (ps, ps)))(yy, xx)
+
+    ref = np.asarray(jax.vmap(one)(img, y0, x0))
+    np.testing.assert_array_equal(batched, ref)
