@@ -67,6 +67,14 @@ def run(argv=None) -> int:
     setup_logging(int(main_flags.get("v", "0") if main_flags.get("v", "0") != "true" else 1))
 
     dataset = main_flags["i"]
+    # legacy CSV input: -i=<video.mp4|.mov> with a sibling .csv (reference:
+    # input_csv.cpp:66-77), or a folder containing data.csv (handled below)
+    data_csv = None
+    if dataset.endswith((".mp4", ".mov")) and os.path.exists(
+            os.path.splitext(dataset)[0] + ".csv"):
+        data_csv = os.path.splitext(dataset)[0] + ".csv"
+        video_path = dataset
+        dataset = os.path.dirname(dataset) or "."
     data_jsonl = os.path.join(dataset, "data.jsonl")
     params = Parameters()
 
@@ -77,6 +85,9 @@ def run(argv=None) -> int:
             if os.path.isdir(os.path.join(cand, "cam0")):
                 euroc_dir = cand
                 break
+        if euroc_dir is None and data_csv is None and os.path.exists(
+                os.path.join(dataset, "data.csv")):
+            data_csv = os.path.join(dataset, "data.csv")
 
     # precedence: data.jsonl-embedded -> parameters/yaml -> calibration -> argv
     if os.path.exists(data_jsonl):
@@ -122,19 +133,30 @@ def run(argv=None) -> int:
 
         H, W = load_image_file(first[0]).shape
     else:
-        src_path = find_frame_source_path(dataset)
+        src_path = (video_path if data_csv and dataset != main_flags["i"]
+                    else find_frame_source_path(dataset))
         if src_path is None:
             print(f"error: no frame source found in {dataset}", file=sys.stderr)
             return 1
         frames = open_frame_source(src_path)
         H, W = frames.shape
 
-    # per-frame intrinsics embedded in data.jsonl (reference: the first
+    def _input_events():
+        if euroc_dir:
+            from ..io.euroc import read_euroc_events
+
+            return read_euroc_events(euroc_dir)
+        if data_csv:
+            return jio.read_csv_events(data_csv)
+        return jio.read_jsonl_events(data_jsonl)
+
+    # per-frame intrinsics embedded in the input (reference: the first
     # frame's cameraParameters configure the camera, api.cpp:528-628 via
-    # input_jsonl.cpp:119-199) — applied only when not set by other sources
+    # input_jsonl.cpp:119-199 / input_csv.cpp:169-177) — applied only when
+    # not set by other sources
     if not euroc_dir and params.tracker.focalLength < 0 \
             and params.tracker.focalLengthX < 0:
-        for ev in jio.read_jsonl_events(data_jsonl):
+        for ev in _input_events():
             if ev.kind == jio.FRAME and ev.frames:
                 fr = ev.frames[0]
                 if fr.focal_length_x > 0:
@@ -182,12 +204,7 @@ def run(argv=None) -> int:
 
     api.on_output = on_output
 
-    if euroc_dir:
-        from ..io.euroc import read_euroc_events
-
-        events = read_euroc_events(euroc_dir)
-    else:
-        events = jio.read_jsonl_events(data_jsonl)
+    events = _input_events()
 
     n_frames = 0
     for ev in events:

@@ -158,3 +158,61 @@ def test_api_worker_thread(dataset):
     est = np.stack([o.position for o in outs])
     assert np.isfinite(est).all()
     assert np.linalg.norm(est[-1]) < 10.0
+
+
+def test_csv_events_parsing(tmp_path):
+    """Legacy numeric-code CSV rows parse to the same event stream shapes as
+    JSONL (reference: input_csv.cpp:128-193)."""
+    csv = tmp_path / "data.csv"
+    csv.write_text("\n".join([
+        "0.00,4,0.01,0.02,0.03",          # gyro
+        "0.00,3,0.1,9.8,0.2",             # acc
+        "0.01,1,0,260.0,262.0,160.0,120.0",  # frame 0 with intrinsics
+        "0.02,2,60.17,24.94,5.0,12.0",    # gps lat,lon,accuracy,alt
+        "0.03,7,1,1.0,2.0,3.0,0,0,0,250.0,252.0",  # ARKit row = frame 1
+    ]) + "\n")
+    evs = list(jio.read_csv_events(str(csv)))
+    kinds = [e.kind for e in evs]
+    assert kinds == [jio.GYROSCOPE, jio.ACCELEROMETER, jio.FRAME, jio.ECHO,
+                     jio.ECHO, jio.FRAME]
+    fr = evs[2].frames[0]
+    assert fr.focal_length_x == 260.0 and fr.principal_point_x == 160.0
+    assert evs[3].raw["gps"]["latitude"] == 60.17
+    # ARKit overlay axes reordered x<-v[5] (input_csv.cpp:281-287)
+    assert evs[4].raw["ARKit"]["position"] == {"x": 3.0, "y": 1.0, "z": 2.0}
+    assert evs[5].frames[0].focal_length_x == 251.0
+    assert evs[5].frames_index == 1
+
+
+@pytest.mark.slow
+def test_cli_runner_csv_input(dataset, tmp_path):
+    """A data.csv folder dataset drives the same pipeline as data.jsonl."""
+    import shutil
+
+    from hybvio_tpu.cli.main import run
+
+    csv_ds = tmp_path / "csvds"
+    csv_ds.mkdir()
+    # frames: reuse the synthetic npy frames; sensors: convert JSONL -> CSV
+    for f in os.listdir(dataset):
+        if f.endswith(".npy"):
+            shutil.copy(os.path.join(dataset, f), csv_ds / f)
+    rows = []
+    for ev in jio.read_jsonl_events(os.path.join(dataset, "data.jsonl")):
+        if ev.kind == jio.GYROSCOPE:
+            rows.append(f"{ev.t},4,{ev.values[0]},{ev.values[1]},{ev.values[2]}")
+        elif ev.kind == jio.ACCELEROMETER:
+            rows.append(f"{ev.t},3,{ev.values[0]},{ev.values[1]},{ev.values[2]}")
+        elif ev.kind == jio.FRAME:
+            rows.append(f"{ev.t},1,{ev.frames_index}")
+    (csv_ds / "data.csv").write_text("\n".join(rows) + "\n")
+
+    out_path = str(tmp_path / "out_csv.jsonl")
+    rc = run([f"-i={csv_ds}", f"-o={out_path}", "-maxFrames=25",
+              "-visualR=0.3", "-cameraTrailLength=6", "-maxTracks=32",
+              "-pyrLKWindowSize=13", "-pyrLKMaxLevel=2", "-gfttMinDistance=30",
+              "-focalLength=260", "-principalPointX=160",
+              "-principalPointY=120"])
+    assert rc == 0
+    lines = [json.loads(l) for l in open(out_path)]
+    assert len(lines) >= 15

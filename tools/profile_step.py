@@ -102,6 +102,29 @@ def main():
     results["full"] = timeit(lambda s, i, f: batched_step(s, i, f),
                              (states, imu, frames[2]), reps)
 
+    # ---- backend param ablations (what does each backend stage cost?) --
+    import copy as _copy0
+
+    def full_with(**overrides):
+        p2 = _copy0.deepcopy(p)
+        for k, v in overrides.items():
+            g, n = k.split("__")
+            setattr(getattr(p2, g), n, v)
+        d2 = DerivedParameters.from_parameters(p2)
+        i2, s2 = make_batched_vio(p2, d2, cams, batch_size=B,
+                                  max_tracks=p2.tracker.maxTracks, dtype=dtype)
+        st = i2(frames[0], np.full(B, float(seq.frame_times[0])),
+                np.arange(B))
+        st, _ = s2(st, imu, frames[1])
+        return timeit(lambda s, i, f: s2(s, i, f), (st, imu, frames[2]), reps)
+
+    if os.environ.get("PROF_BE_ABLATE", "1") == "1":
+        results["be-NV8"] = full_with(odometry__maxVisualUpdates=8)
+        results["be-gn3"] = full_with(
+            odometry__triangulationGaussNewtonIterations=3)
+        results["be-seqVU"] = full_with(odometry__batchVisualUpdate=False)
+        results["be-trail8"] = full_with(odometry__cameraTrailLength=8)
+
     # ---- tracker-only --------------------------------------------------
     t_init, t_track = make_tracker(p, cams, max_tracks=p.tracker.maxTracks,
                                    dtype=dtype, derived=derived)
