@@ -379,11 +379,9 @@ def ransac3(
         b = cur_pts3d[sl]
         ca = jnp.mean(a, axis=0)
         cb = jnp.mean(b, axis=0)
-        Hm = (a - ca).T @ (b - cb)
-        U, _, Vt = jnp.linalg.svd(Hm)
-        det = jnp.linalg.det(Vt.T @ U.T)
-        D = jnp.diag(jnp.asarray([1.0, 1.0, jnp.where(det < 0, -1.0, 1.0)], dtype))
-        R = Vt.T @ D @ U.T
+        # Horn quaternion solve (SVD-free; 128 vmapped 3x3 SVDs dominate the
+        # stereo RANSAC cost otherwise)
+        R = _kabsch(a - ca, b - cb, jnp.ones((3,), dtype))
         t = cb - R @ ca
         return R, t
 
@@ -410,11 +408,7 @@ def ransac3(
     sw = jnp.maximum(jnp.sum(w), 1.0)
     ca = jnp.sum(prev_pts3d * w[:, None], axis=0) / sw
     cb = jnp.sum(cur_pts3d * w[:, None], axis=0) / sw
-    Hm = jnp.einsum("n,ni,nj->ij", w, prev_pts3d - ca, cur_pts3d - cb)
-    U, _, Vt = jnp.linalg.svd(Hm)
-    det = jnp.linalg.det(Vt.T @ U.T)
-    D = jnp.diag(jnp.asarray([1.0, 1.0, jnp.where(det < 0, -1.0, 1.0)], dtype))
-    R_fit = Vt.T @ D @ U.T
+    R_fit = _kabsch(prev_pts3d - ca, cur_pts3d - cb, w)
     t_fit = cb - R_fit @ ca
     enough = jnp.sum(inl0) >= 3
     R_f = jnp.where(enough, R_fit, R_best)

@@ -63,6 +63,26 @@ def inverse_depth(pf: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([pf[..., 0], pf[..., 1], jnp.ones_like(pf[..., 2])], axis=-1) / pf[..., 2:3]
 
 
+def _solve3_spd(A, b, dtype):
+    """x = A^-1 b for symmetric 3x3 A via the adjugate (Cramer). Singular A
+    yields large/non-finite x, matching what an LU solve would produce; the
+    callers' non-finite guards handle that case."""
+    a, bb, c = A[0, 0], A[0, 1], A[0, 2]
+    d, e, f = A[1, 1], A[1, 2], A[2, 2]
+    co00 = d * f - e * e
+    co01 = c * e - bb * f
+    co02 = bb * e - c * d
+    det = a * co00 + bb * co01 + c * co02
+    co11 = a * f - c * c
+    co12 = bb * c - a * e
+    co22 = a * d - bb * bb
+    adj = jnp.asarray([[co00, co01, co02],
+                       [co01, co11, co12],
+                       [co02, co12, co22]], dtype)
+    safe_det = jnp.where(jnp.abs(det) > 1e-300, det, 1e-300)
+    return (adj @ b) / safe_det
+
+
 def triangulate_two_cameras(p0, R0, p1, R1, ip0, ip1):
     """Midpoint-style 2-view triangulation via 3x2 pseudo-inverse, in the
     coordinates of camera 0 (reference: triangulateWithTwoCameras,
@@ -129,7 +149,7 @@ def triangulate_gn(
     C = jnp.einsum("nij,jk->nik", poses.R, R0T)  # (N,3,3)
     t = jnp.einsum("nij,nj->ni", poses.R, p0[None, :] - poses.p)  # (N,3)
 
-    def gn_step(pfi, C, t, ips):
+    def gn_step(pfi, C, t, ips, compute_rcond=True):
         """One Gauss-Newton step; returns (pfi_new, J, rcond)."""
         pfiab = jnp.stack([pfi[0], pfi[1], jnp.ones((), dtype=dtype)])
         h = jnp.einsum("nij,j->ni", C, pfiab) + pfi[2] * t  # (N,3)
@@ -147,12 +167,17 @@ def triangulate_gn(
 
         ETE = jnp.einsum("nij,nik->jk", E, E)
         Eerr = jnp.einsum("nij,ni->j", E, err)
-        delta = jnp.linalg.solve(ETE + 1e-300 * jnp.eye(3, dtype=dtype), Eerr)
+        # explicit 3x3 SPD adjugate solve (this sits inside a scan inside a
+        # vmapped per-track update; a general LU solve is measurably slower)
+        delta = _solve3_spd(ETE, Eerr, dtype)
         pfi_new = pfi - delta
 
-        # rcond of ETE (3x3): ratio of min/max eigenvalue
-        eig = jnp.linalg.eigvalsh(ETE)
-        rcond = jnp.abs(eig[0]) / jnp.maximum(jnp.abs(eig[-1]), 1e-300)
+        if compute_rcond:
+            # rcond of ETE (3x3): ratio of min/max eigenvalue
+            eig = jnp.linalg.eigvalsh(ETE)
+            rcond = jnp.abs(eig[0]) / jnp.maximum(jnp.abs(eig[-1]), 1e-300)
+        else:
+            rcond = jnp.zeros((), dtype)
         J = 0.5 * jnp.sum(err * err) / (convergence_r * convergence_r)
         return pfi_new, J, rcond
 
@@ -168,7 +193,9 @@ def triangulate_gn(
 
     def gn_body(carry, _):
         pfi, Jprev, converged, rcond = carry
-        pfi_new, J, rcond_new = gn_step(pfi, C_ng, t_ng, ips_ng)
+        # rcond is only consumed from the final differentiable step below
+        pfi_new, J, rcond_new = gn_step(pfi, C_ng, t_ng, ips_ng,
+                                        compute_rcond=False)
         Jd = jnp.abs((J - Jprev) / jnp.where(jnp.abs(J) > 0, J, 1.0))
         # J ~ 0 (perfect fit) counts as converged: the relative criterion is
         # undefined there (the reference never hits this case on real data)

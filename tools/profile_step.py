@@ -118,12 +118,21 @@ def main():
         st, _ = s2(st, imu, frames[1])
         return timeit(lambda s, i, f: s2(s, i, f), (st, imu, frames[2]), reps)
 
+    def report():
+        name = f"{config} B={B}"
+        print(f"\n== stage times ({name}), ms/step ==")
+        for k, v in results.items():
+            print(f"  {k:14s} {v:8.2f}")
+
     if os.environ.get("PROF_BE_ABLATE", "1") == "1":
         results["be-NV8"] = full_with(odometry__maxVisualUpdates=8)
         results["be-gn3"] = full_with(
             odometry__triangulationGaussNewtonIterations=3)
         results["be-seqVU"] = full_with(odometry__batchVisualUpdate=False)
         results["be-trail8"] = full_with(odometry__cameraTrailLength=8)
+        if os.environ.get("PROF_BE_ONLY", "0") == "1":
+            report()
+            return
 
     # ---- tracker-only --------------------------------------------------
     t_init, t_track = make_tracker(p, cams, max_tracks=p.tracker.maxTracks,
