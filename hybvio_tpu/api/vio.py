@@ -98,6 +98,7 @@ class VioApi:
         self._first_image = None
         self._status = 0
         self._last_reset_time = 0.0
+        self.last_frame_output = None
         self._threshold_warned = 0.01
         self._frame_count = 0
 
@@ -329,6 +330,9 @@ class VioApi:
             self.sample_sync.set_imu_to_camera_time_shift(shift)
 
         self._frame_count += 1
+        # raw per-frame output for visualization taps (reference: TaggedFrame
+        # payload threaded to the views, odometry/tagged_frame.hpp:33-71)
+        self.last_frame_output = out
         if self.slam is not None and bool(out.keyframe):
             self.slam.maybe_submit(
                 np.asarray(image, np.float32),

@@ -47,14 +47,40 @@ def run(argv=None) -> int:
     from ..io import jsonl as jio
     from ..io.video import open_frame_source
 
-    # pull out main-level flags first
+    # main-level flags: reference long names + shorts
+    # (codegen/cmd_parameter_definitions.json)
+    _ALIASES = {
+        "inputPath": "i", "outputPath": "o", "recordingPath": "r",
+        "videoRecordingPath": "vr", "parametersPath": "p",
+        "calibrationPath": "c", "pointCloudOutputPath": "pc",
+        "logLevel": "v", "frames": "maxFrames",
+        "width": "targetFrameWidth",
+    }
+    _MAIN_KEYS = {
+        "i", "o", "p", "c", "r", "vr", "pc", "maxFrames", "timer",
+        "outputType", "slamMapPosesPath", "v", "targetFrameWidth",
+        "targetFrameWidthUpsample", "visuUpdateInterval",
+        "visualizationPath", "stepMode", "windowResolution",
+        "datasetVideoIndex", "gpu", "skipOpenGlCleanup",
+    }
+    # display flags map to raster renderers (api/visualizations.py); frames
+    # are written under -visualizationPath (headless: no GUI windows)
+    _DISPLAY_KEYS = {
+        "displayVideo", "displayPose", "displayCorrelation",
+        "displayCovarianceMagnitude", "displayPointCloud",
+        "displayImuSamples", "displayStereoMatching",
+        "displayStereoDisparity", "displayStereoDepth", "displayTracks",
+        "displayTracksAll", "displayOpticalFlow", "displayCornerMeasure",
+        "displayStereoEpipolarCurves", "displayPlainVideo",
+        "visualUpdateViewer",
+    }
     main_flags = {}
     rest = []
     for a in argv:
         body = a.lstrip("-")
         k, _, v = body.partition("=")
-        if k in ("i", "o", "p", "c", "maxFrames", "timer", "recordDir",
-                 "outputType", "slamMapPosesPath", "v"):
+        k = _ALIASES.get(k, k)
+        if k in _MAIN_KEYS or k in _DISPLAY_KEYS:
             main_flags[k] = v if v else "true"
         else:
             rest.append(a)
@@ -177,6 +203,38 @@ def run(argv=None) -> int:
     if rot_steps % 2 == 1:
         W, H = H, W
 
+    # targetFrameWidth: scale the longer side down to the target (the
+    # -Upsample variant also allows scaling up) and scale intrinsics with it
+    # (reference: main.cpp:334-394 resolution probe + scaling)
+    tfw = int(main_flags.get("targetFrameWidth", "0") or 0)
+    tfw_up = int(main_flags.get("targetFrameWidthUpsample", "0") or 0)
+    target = tfw_up if tfw_up > 0 else tfw
+    frame_scale = 1.0
+    if target > 0:
+        frame_scale = target / float(max(W, H))
+        if tfw_up <= 0:
+            frame_scale = min(frame_scale, 1.0)
+    if frame_scale != 1.0:
+        from ..frontend.image_utils import resize_bilinear_np
+
+        newW, newH = round(W * frame_scale), round(H * frame_scale)
+        sx, sy = newW / W, newH / H
+        for name, s in (("focalLength", sx), ("focalLengthX", sx),
+                        ("focalLengthY", sy), ("principalPointX", sx),
+                        ("principalPointY", sy),
+                        ("secondFocalLengthX", sx), ("secondFocalLengthY", sy),
+                        ("secondPrincipalPointX", sx),
+                        ("secondPrincipalPointY", sy)):
+            v = getattr(params.tracker, name, -1.0)
+            if v is not None and v > 0:
+                setattr(params.tracker, name, v * s)
+        W, H = newW, newH
+        _rot0 = maybe_rotate
+
+        def maybe_rotate(img):  # noqa: F811
+            # rotate first: newH/newW are post-rotation dimensions
+            return resize_bilinear_np(_rot0(img), newH, newW)
+
     from ..api.vio import VioApi
 
     max_frames = int(main_flags.get("maxFrames", "0") or 0)
@@ -188,6 +246,79 @@ def run(argv=None) -> int:
         api.time_stats.enabled = True
     n_out = [0]
     t_start = time.time()
+
+    # session recording (reference: -recordingPath / -videoRecordingPath via
+    # jsonl-recorder, api.cpp:97-101,631-710)
+    recorder = None
+    if main_flags.get("r") or main_flags.get("vr"):
+        from ..io.jsonl import Recorder
+
+        rpath = main_flags.get("r") or main_flags.get("vr")
+        recorder = Recorder(rpath, save_frames=bool(main_flags.get("vr")))
+        if main_flags.get("vr") and main_flags.get("r") is None:
+            recorder.dir = main_flags["vr"] if not main_flags["vr"].endswith(
+                ".jsonl") else os.path.dirname(main_flags["vr"]) or "."
+
+    # point cloud CSV (reference: writePointCloudToCsv, main.cpp:399-408)
+    pc_file = open(main_flags["pc"], "w") if main_flags.get("pc") else None
+
+    # headless display flags -> raster dumps under -visualizationPath
+    vis_dir = main_flags.get("visualizationPath")
+    vis_every = max(1, int(main_flags.get("visuUpdateInterval", "1") or 1))
+    display_on = {k for k in _DISPLAY_KEYS
+                  if main_flags.get(k) not in (None, "false", "NONE")}
+    if display_on and vis_dir:
+        os.makedirs(vis_dir, exist_ok=True)
+    elif display_on:
+        print("note: display flags are headless here; pass "
+              "-visualizationPath=<dir> to write visualization frames",
+              file=sys.stderr)
+    last_img = [None]
+    est_positions = []
+
+    def write_visualizations(out):
+        if not (display_on and vis_dir) or (n_out[0] - 1) % vis_every:
+            return
+        from ..api import visualizations as vz
+
+        k = n_out[0] - 1
+        fo = api.last_frame_output
+        if {"displayVideo", "displayPlainVideo", "displayTracks",
+                "displayTracksAll", "displayOpticalFlow"} & display_on \
+                and last_img[0] is not None:
+            img = last_img[0]
+            if "displayPlainVideo" in display_on or fo is None:
+                frame = np.asarray(img)[..., None].repeat(3, -1)
+            else:
+                import jax.numpy as jnp
+
+                from ..geometry.cameras import ray_to_pixel
+
+                norm = np.asarray(fo.track_norm)
+                rays = np.concatenate(
+                    [norm, np.ones((len(norm), 1))], axis=1)
+                px = np.asarray(ray_to_pixel(
+                    api.cameras[0], jnp.asarray(rays))[0])
+                valid = np.asarray(fo.track_ids) >= 0
+                frame = vz.render_video_overlay(np.asarray(img), px, valid)
+            np.save(os.path.join(vis_dir, f"video_{k:06d}.npy"), frame)
+        if "displayPose" in display_on:
+            est_positions.append([out.position[0], out.position[1],
+                                  out.position[2]])
+            hist = {"output": np.asarray(est_positions, np.float64)}
+            for name, rows in api.pose_histories.items():
+                if rows:
+                    hist[name] = np.asarray(rows, np.float64)[:, 1:4]
+            np.save(os.path.join(vis_dir, f"pose_{k:06d}.npy"),
+                    vz.render_pose_plot(hist))
+        if "displayCovarianceMagnitude" in display_on and api._state is not None:
+            P = np.asarray(api._state.backend.ekf.P)
+            np.save(os.path.join(vis_dir, f"cov_{k:06d}.npy"),
+                    vz.render_covariance_magnitudes(P))
+        if "displayCorrelation" in display_on and api._state is not None:
+            P = np.asarray(api._state.backend.ekf.P)
+            np.save(os.path.join(vis_dir, f"corr_{k:06d}.npy"),
+                    vz.render_correlation(P))
 
     def on_output(out):
         n_out[0] += 1
@@ -201,6 +332,11 @@ def run(argv=None) -> int:
                     "stationaryVisual": out.stationary_visual,
                 }
             out_file.write(out.as_json(with_trail, extras) + "\n")
+        if pc_file is not None and len(out.point_cloud):
+            for row in out.point_cloud:
+                pc_file.write(
+                    f"{out.t},{int(row[0])},{row[1]},{row[2]},{row[3]}\n")
+        write_visualizations(out)
 
     api.on_output = on_output
 
@@ -209,11 +345,17 @@ def run(argv=None) -> int:
     n_frames = 0
     for ev in events:
         if ev.kind == jio.GYROSCOPE:
+            if recorder is not None:
+                recorder.gyro(ev.t, ev.values)
             api.add_gyro(ev.t, ev.values)
         elif ev.kind == jio.ACCELEROMETER:
+            if recorder is not None:
+                recorder.acc(ev.t, ev.values)
             api.add_acc(ev.t, ev.values)
         elif ev.kind == jio.ECHO:
             if ev.raw:
+                if recorder is not None:
+                    recorder.f.write(json.dumps(ev.raw) + "\n")
                 api.add_echo(ev.raw)
         elif ev.kind == jio.FRAME:
             if euroc_dir:
@@ -228,10 +370,16 @@ def run(argv=None) -> int:
                 img = frames.frame(num, 0)
                 img2 = (frames.frame(num, 1)
                         if len(ev.frames) > 1 and params.tracker.useStereo else None)
+            img = maybe_rotate(img)
+            img2 = maybe_rotate(img2) if img2 is not None else None
+            last_img[0] = img
+            if recorder is not None:
+                recorder.frame(
+                    ev.t, [img] if img2 is None else [img, img2])
             if img2 is not None:
-                api.add_frame_stereo(ev.t, maybe_rotate(img), maybe_rotate(img2))
+                api.add_frame_stereo(ev.t, img, img2)
             else:
-                api.add_frame_mono(ev.t, maybe_rotate(img))
+                api.add_frame_mono(ev.t, img)
             n_frames += 1
             if max_frames and n_frames >= max_frames:
                 break
@@ -240,6 +388,10 @@ def run(argv=None) -> int:
     elapsed = time.time() - t_start
     if out_file:
         out_file.close()
+    if pc_file is not None:
+        pc_file.close()
+    if recorder is not None:
+        recorder.close()
     print(f"processed {n_frames} frames, {n_out[0]} outputs in {elapsed:.1f}s "
           f"({n_frames / max(elapsed, 1e-9):.1f} fps)", file=sys.stderr)
     if main_flags.get("timer"):

@@ -41,3 +41,26 @@ def rgb_to_gray(img):
     if a.dtype == np.uint8:
         a = a.astype(np.float32) / 255.0
     return (0.299 * a[..., 0] + 0.587 * a[..., 1] + 0.114 * a[..., 2])
+
+
+def resize_bilinear_np(img, new_h: int, new_w: int):
+    """Host-side bilinear resize (reference: targetFrameWidth input scaling,
+    main.cpp:334-394 via VideoInput resize). numpy only — runs per frame on
+    the input thread, not on device."""
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.float32)
+    H, W = a.shape[:2]
+    if (H, W) == (new_h, new_w):
+        return a
+    y = (np.arange(new_h) + 0.5) * H / new_h - 0.5
+    x = (np.arange(new_w) + 0.5) * W / new_w - 0.5
+    y0 = np.clip(np.floor(y).astype(np.int64), 0, H - 1)
+    x0 = np.clip(np.floor(x).astype(np.int64), 0, W - 1)
+    y1 = np.minimum(y0 + 1, H - 1)
+    x1 = np.minimum(x0 + 1, W - 1)
+    wy = np.clip(y - y0, 0.0, 1.0)[:, None]
+    wx = np.clip(x - x0, 0.0, 1.0)[None, :]
+    top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
+    bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
+    return top * (1 - wy) + bot * wy

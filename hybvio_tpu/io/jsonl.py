@@ -178,10 +178,18 @@ class Recorder:
     deterministic replay (the reference's checkpoint/resume equivalent;
     reference: api.cpp:631-710 via jsonl-recorder)."""
 
-    def __init__(self, out_dir: str):
+    def __init__(self, out_dir: str, save_frames: bool = True):
+        # accept either a directory or a path/to/recording.jsonl (reference:
+        # -recordingPath takes a JSONL file path)
+        if out_dir.endswith(".jsonl"):
+            jsonl_path = out_dir
+            out_dir = os.path.dirname(out_dir) or "."
+        else:
+            jsonl_path = os.path.join(out_dir, "data.jsonl")
         os.makedirs(out_dir, exist_ok=True)
         self.dir = out_dir
-        self.f = open(os.path.join(out_dir, "data.jsonl"), "w")
+        self.f = open(jsonl_path, "w")
+        self.save_frames = save_frames
         self.frame_count = 0
 
     def gyro(self, t, v):
@@ -197,8 +205,9 @@ class Recorder:
         self.frame_count += 1
         frames = []
         for ci, img in enumerate(images):
-            np.save(os.path.join(self.dir, f"frame_{n:06d}_cam{ci}.npy"),
-                    np.asarray(img, dtype=np.float32))
+            if self.save_frames:
+                np.save(os.path.join(self.dir, f"frame_{n:06d}_cam{ci}.npy"),
+                        np.asarray(img, dtype=np.float32))
             fr = {"cameraInd": ci, "time": float(t)}
             if camera_params and ci < len(camera_params):
                 fr["cameraParameters"] = camera_params[ci]

@@ -216,3 +216,41 @@ def test_cli_runner_csv_input(dataset, tmp_path):
     assert rc == 0
     lines = [json.loads(l) for l in open(out_path)]
     assert len(lines) >= 15
+
+
+@pytest.mark.slow
+def test_cli_recording_pointcloud_visu_resize(dataset, tmp_path):
+    """-recordingPath/-pc/-displayPose/-targetFrameWidth flag parity
+    (reference: cmd_parameter_definitions.json main group)."""
+    from hybvio_tpu.cli.main import run
+
+    rec = tmp_path / "rec" / "session.jsonl"
+    pc = str(tmp_path / "cloud.csv")
+    vis = str(tmp_path / "vis")
+    out_path = str(tmp_path / "out.jsonl")
+    rc = run([f"-inputPath={dataset}", f"-outputPath={out_path}",
+              f"-recordingPath={rec}", f"-pc={pc}",
+              "-displayPose", "-displayCovarianceMagnitude",
+              f"-visualizationPath={vis}", "-visuUpdateInterval=5",
+              "-targetFrameWidth=240", "-frames=20",
+              "-visualR=0.3", "-cameraTrailLength=6", "-maxTracks=32",
+              "-pyrLKWindowSize=13", "-pyrLKMaxLevel=2", "-gfttMinDistance=25",
+              "-focalLength=260", "-principalPointX=160",
+              "-principalPointY=120"])
+    assert rc == 0
+    assert len(open(out_path).readlines()) >= 10
+    # recording JSONL replays: same event kinds as the input, scaled frames
+    evs = list(jio.read_jsonl_events(str(rec)))
+    kinds = [e.kind for e in evs]
+    assert kinds.count(jio.FRAME) == 20 and kinds.count(jio.GYROSCOPE) > 100
+    # point cloud CSV rows: t,id,x,y,z
+    rows = [l.split(",") for l in open(pc).read().splitlines() if l]
+    assert rows and all(len(r) == 5 for r in rows)
+    # visualization dumps written every 5th output
+    vfiles = sorted(os.listdir(vis))
+    assert any(f.startswith("pose_") for f in vfiles)
+    assert any(f.startswith("cov_") for f in vfiles)
+    # resized: scaled focal length must produce a sane trajectory scale
+    est = np.array([[json.loads(l)["position"][k] for k in "xyz"]
+                    for l in open(out_path)])
+    assert np.isfinite(est).all()
