@@ -55,6 +55,12 @@ def build_config(config, jnp):
     p.odometry.imuToCameraMatrix = tuple(SYNTH_IMU_TO_CAMERA.T.flatten())
     p.odometry.visualR = 0.3  # matched to the front-end's LK noise on renders
     p.odometry.batchVisualUpdate = True  # parallel visual updates (TPU fast path)
+    # f32-tuned conditioning gate: the stable equilibrated GN solve returns
+    # finite solutions for near-degenerate trails that an LU solve would NaN
+    # out; reject them by conditioning instead (reference default 1e-8 is
+    # tuned for f64)
+    p.odometry.triangulationRcondThreshold = float(
+        os.environ.get("BENCH_RCOND", "1e-5"))
     seq_kwargs = dict(n_landmarks=500, gyro_noise=5e-4, acc_noise=5e-3, seed=0)
 
     if config == "fisheye":

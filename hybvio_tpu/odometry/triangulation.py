@@ -63,24 +63,30 @@ def inverse_depth(pf: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([pf[..., 0], pf[..., 1], jnp.ones_like(pf[..., 2])], axis=-1) / pf[..., 2:3]
 
 
-def _solve3_spd(A, b, dtype):
-    """x = A^-1 b for symmetric 3x3 A via the adjugate (Cramer). Singular A
-    yields large/non-finite x, matching what an LU solve would produce; the
-    callers' non-finite guards handle that case."""
-    a, bb, c = A[0, 0], A[0, 1], A[0, 2]
-    d, e, f = A[1, 1], A[1, 2], A[2, 2]
-    co00 = d * f - e * e
-    co01 = c * e - bb * f
-    co02 = bb * e - c * d
-    det = a * co00 + bb * co01 + c * co02
-    co11 = a * f - c * c
-    co12 = bb * c - a * e
-    co22 = a * d - bb * bb
-    adj = jnp.asarray([[co00, co01, co02],
-                       [co01, co11, co12],
-                       [co02, co12, co22]], dtype)
-    safe_det = jnp.where(jnp.abs(det) > 1e-300, det, 1e-300)
-    return (adj @ b) / safe_det
+def _solve3_spd_equil(A, b, dtype):
+    """x = A^-1 b for PSD 3x3 A: Jacobi equilibration (unit diagonal) then
+    explicit Cholesky. The scaling is exact in real arithmetic; in f32 it
+    keeps the factorization accurate on the highly anisotropic near-singular
+    systems mono triangulation produces, where unscaled LLT/Cramer fail.
+    Singular A yields large/non-finite x, matching an LU solve; the callers'
+    non-finite guards and rcond gate handle that case."""
+    tiny = jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    s = 1.0 / jnp.sqrt(jnp.maximum(jnp.diagonal(A), tiny))
+    As = A * s[:, None] * s[None, :]
+    bs = b * s
+    l11 = jnp.sqrt(jnp.maximum(As[0, 0], tiny))
+    l21 = As[0, 1] / l11
+    l31 = As[0, 2] / l11
+    l22 = jnp.sqrt(jnp.maximum(As[1, 1] - l21 * l21, tiny))
+    l32 = (As[1, 2] - l21 * l31) / l22
+    l33 = jnp.sqrt(jnp.maximum(As[2, 2] - l31 * l31 - l32 * l32, tiny))
+    y1 = bs[0] / l11
+    y2 = (bs[1] - l21 * y1) / l22
+    y3 = (bs[2] - l31 * y1 - l32 * y2) / l33
+    x3 = y3 / l33
+    x2 = (y2 - l32 * x3) / l22
+    x1 = (y1 - l21 * x2 - l31 * x3) / l11
+    return jnp.stack([x1, x2, x3]) * s
 
 
 def triangulate_two_cameras(p0, R0, p1, R1, ip0, ip1):
@@ -167,9 +173,12 @@ def triangulate_gn(
 
         ETE = jnp.einsum("nij,nik->jk", E, E)
         Eerr = jnp.einsum("nij,ni->j", E, err)
-        # explicit 3x3 SPD adjugate solve (this sits inside a scan inside a
-        # vmapped per-track update; a general LU solve is measurably slower)
-        delta = _solve3_spd(ETE, Eerr, dtype)
+        # explicit 3x3 solve with Jacobi equilibration: naive Cholesky or
+        # adjugate solves here measurably degrade f32 mono accuracy on the
+        # near-singular small-baseline systems (ATE 0.005 -> 0.13+); scaling
+        # to unit diagonal first restores LU-pivoting-level accuracy at a
+        # fraction of the cost of the batched LU this sits in otherwise
+        delta = _solve3_spd_equil(ETE, Eerr, dtype)
         pfi_new = pfi - delta
 
         if compute_rcond:

@@ -101,6 +101,13 @@ def make_prepare_track_update(po, imu_to_camera, second_imu_to_camera, use_stere
         full_mask = jnp.tile(mask, n_cams)
         if po.useLinearTriangulation:
             return triangulate_linear(trail, feats, full_mask)
+        # f32 floor on the conditioning gate: the reference's 1e-8 default is
+        # tuned for f64; in f32 a system with rcond ~1e-7 solves to garbage
+        # depth that still reprojects well, so it must be rejected by
+        # conditioning (measured: mono ATE 0.005 -> 0.13+ without this)
+        rcond_thr = po.triangulationRcondThreshold
+        if feats.dtype == jnp.float32:
+            rcond_thr = max(rcond_thr, 1e-5)
         return triangulate_gn(
             trail,
             feats,
@@ -108,7 +115,7 @@ def make_prepare_track_update(po, imu_to_camera, second_imu_to_camera, use_stere
             gn_iterations=int(po.triangulationGaussNewtonIterations),
             convergence_threshold=po.triangulationConvergenceThreshold,
             convergence_r=po.triangulationConvergenceR,
-            rcond_threshold=po.triangulationRcondThreshold,
+            rcond_threshold=rcond_thr,
             stereo=use_stereo,
         )
 

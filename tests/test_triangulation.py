@@ -261,3 +261,47 @@ def test_end_to_end_visual_update_corrects_pose():
 
     err1 = np.linalg.norm(np.asarray(s.m[POS:POS + 3]) - states_true[0, :3])
     assert err1 < 0.5 * err0, (err0, err1)
+
+
+def test_solve3_spd_equil_accuracy():
+    """Equilibrated explicit Cholesky matches LU on anisotropic SPD systems
+    (the f32 mono small-baseline regime where unscaled LLT/Cramer fail)."""
+    import numpy as np
+
+    from hybvio_tpu.odometry.triangulation import _solve3_spd_equil
+
+    rng = np.random.RandomState(0)
+    for scale in (1.0, 1e3, 1e6):
+        # SPD with wildly different diagonal scales
+        L = np.tril(rng.rand(3, 3) + 0.5)
+        A64 = (L @ L.T) * np.array([[1, 1, scale]]) * np.array([[1], [1], [scale]])
+        b64 = rng.rand(3)
+        x_ref = np.linalg.solve(A64, b64)
+        x32 = np.asarray(_solve3_spd_equil(
+            jnp.asarray(A64, jnp.float32), jnp.asarray(b64, jnp.float32),
+            jnp.float32))
+        np.testing.assert_allclose(x32, x_ref, rtol=2e-3)
+
+
+def test_triangulate_gn_f32_rejects_tiny_baseline():
+    """In f32, a near-zero-baseline trail must be rejected by the
+    conditioning gate rather than produce a plausible-but-garbage depth
+    (the failure mode behind mono ATE 0.005 -> 0.13 with a non-NaN solver)."""
+    import numpy as np
+
+    from hybvio_tpu.geometry.quaternion import quat_to_rmat
+    from hybvio_tpu.odometry.triangulation import (
+        TRI_OK, CameraPoses, triangulate_gn)
+
+    K = 6
+    # camera barely moves: 0.1 mm baseline, point 5 m away
+    p = jnp.asarray(np.linspace(0, 1e-4, K)[:, None] * np.array([1.0, 0, 0]),
+                    jnp.float32)
+    R = jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (K, 3, 3))
+    pt = np.array([0.3, -0.2, 5.0])
+    ips = jnp.asarray(
+        (pt[:2] / pt[2])[None, :] + 1e-5 * np.random.RandomState(0).randn(K, 2),
+        jnp.float32)
+    res = triangulate_gn(CameraPoses(p=p, R=R), ips, jnp.ones((K,), bool),
+                         rcond_threshold=1e-5)
+    assert int(res.status) != TRI_OK
