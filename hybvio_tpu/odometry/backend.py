@@ -422,8 +422,11 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
         gate in PARALLEL against the same pre-update state, and the accepted
         blocks apply as ONE stacked EKF update. On TPU this replaces NV
         sequential small steps by one wide program -- the main throughput
-        lever for the per-frame latency."""
-        assert M == 0, "batched visual update does not support hybrid map yet"
+        lever for the per-frame latency. Hybrid map-point tracks join the
+        stack with their map-point H columns (full-width H makes this free);
+        promotions are excluded from the stack and applied afterwards as one
+        vectorized insert, mirroring the sequential skip-update-and-insert
+        semantics (backend.cpp:1163-1168)."""
         trail_state = state.trail
         ekf = state.ekf
 
@@ -439,6 +442,15 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
         n_sel = jnp.sum(selected_all, axis=1)
         was_blacklisted = state.blacklist_flags & (state.blacklist_ids == track_ids) & valid
 
+        is_map_point = jnp.zeros((T,), dtype=bool)
+        mp_index_of_track = jnp.full((T,), -1, jnp.int32)
+        if M > 0:
+            mp_ids0 = trail_state.map_point_ids  # (M,)
+            hits = (track_ids[:, None] == mp_ids0[None, :]) & (track_ids[:, None] >= 0)
+            is_map_point = jnp.any(hits, axis=1)
+            mp_index_of_track = jnp.where(
+                is_map_point, jnp.argmax(hits, axis=1), -1).astype(jnp.int32)
+
         cand = valid & exists_head[0]
         if po.scoreVisualUpdateTracks:
             cscores = jnp.where(cand, scores, jnp.inf)
@@ -446,18 +458,22 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             sorted_scores = jnp.sort(cscores)
             min_score = jnp.where(
                 n_cand > 0, sorted_scores[jnp.clip(n_cand // 2, 0, T - 1)], -1.0)
-            ok_score = scores >= min_score
+            ok_score = (scores >= min_score) | is_map_point
         else:
             ok_score = jnp.ones((T,), bool)
-        ok_len = n_sel >= po.trackMinFrames
+        ok_len = (n_sel >= po.trackMinFrames) | is_map_point
         eligible = cand & ok_score & ok_len & ~was_blacklisted
         if not full_visual_update:
-            eligible = jnp.zeros((T,), bool)
+            eligible = eligible & is_map_point
 
         rng, perm_key = jax.random.split(rng)
         noise = jax.random.uniform(perm_key, (T,), dtype=dtype)
-        priority = jnp.where(eligible, 0.0, 10.0) + noise * 0.5
+        # map points first within the eligible set (reference: stable
+        # partition after shuffle, backend.cpp:963-975)
+        priority = (jnp.where(eligible, 0.0, 10.0)
+                    + jnp.where(is_map_point, 0.0, 1.0) + noise * 0.5)
         order = jnp.argsort(priority)[:NV]
+        mp_ordered = is_map_point[order]
 
         visual_r = po.visualR / float(_focal(cameras[0]))
         rmse_thr0 = po.trackRmseThreshold / float(_focal(cameras[0])) if po.trackRmseThreshold >= 0 else -1.0
@@ -471,11 +487,24 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             ps = jnp.where(sel[:, None], pose_states, pose_states[0][None, :])
             ips = jnp.swapaxes(trail_state.kf_norm[:, slot], 0, 1).reshape(n_cams * K, 2)
             vels = jnp.swapaxes(trail_state.kf_vel[:, slot], 0, 1).reshape(n_cams * K, 2)
+            if M > 0:
+                mp = is_map_point[slot]
+                mp_idx = mp_index_of_track[slot]
+                mp_off = jnp.where(
+                    mp, d - 3 * M + 3 * jnp.maximum(mp_idx, 0), d)
+                mp_val = jax.lax.dynamic_slice(
+                    ekf.m, (jnp.clip(mp_off, 0, d - 3),), (3,))
+                out_mp = prepare(ps, trail_index, ips, vels, sel,
+                                 map_point=jnp.where(mp, mp_val, jnp.zeros(3, dtype)),
+                                 map_point_offset=jnp.where(mp, mp_off, d))
+                out_tri = prepare(ps, trail_index, ips, vels, sel)
+                return jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(mp, a, b), out_mp, out_tri)
             return prepare(ps, trail_index, ips, vels, sel)
 
         outs = jax.vmap(prep_one)(order)  # leading axis NV
         active = eligible[order]
-        tri_ok = outs.tri_status == TRI_OK
+        tri_ok = (outs.tri_status == TRI_OK) | mp_ordered
         prep_ok = outs.prepare_status == 0
 
         from ..ekf import visual_track_gate
@@ -485,7 +514,10 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
                 ekf.m, ekf.P, H, f, y, mask, noise_scale, chi_r0, rmse_thr0)
         )(outs.H, outs.f, outs.y, outs.row_mask)
 
-        attempt = active  # every active candidate triangulates
+        # every active non-map-point candidate triangulates; map-point
+        # updates don't count against the attempt budget (reference:
+        # backend.cpp attempts counting excludes hybrid tracks)
+        attempt = active & ~mp_ordered
         attempts_before = jnp.cumsum(attempt) - attempt.astype(jnp.int32)
         inlier_raw = active & tri_ok & prep_ok & gate_ok
         successes_before = jnp.cumsum(inlier_raw) - inlier_raw.astype(jnp.int32)
@@ -497,10 +529,26 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
         accepted = inlier_raw & need_more
         attempted = attempt & need_more
 
+        # hybrid map promotion: accepted non-map-point tracks claim free map
+        # slots in order; promoted tracks skip the stacked update and are
+        # inserted with a weak prior instead (reference: backend.cpp:1163-1168
+        # + insertMapPoint semantics)
+        can_promote = jnp.zeros((NV,), bool)
+        mp_ids_arr = trail_state.map_point_ids if M > 0 else None
+        if M > 0:
+            free = mp_ids_arr < 0  # (M,)
+            n_free = jnp.sum(free)
+            free_slots = jnp.argsort(~free, stable=True)  # free first
+            promote_cand = accepted & ~mp_ordered
+            promo_rank = jnp.cumsum(promote_cand) - promote_cand.astype(jnp.int32)
+            can_promote = promote_cand & (promo_rank < n_free)
+            mp_slot_of = free_slots[jnp.clip(promo_rank, 0, M - 1)]  # (NV,)
+        accepted_stack = accepted & ~can_promote
+
         # stack the first A_cap accepted tracks into one update
         A_cap = po.maxSuccessfulVisualUpdates if po.maxSuccessfulVisualUpdates > 0 else min(NV, 8)
-        acc_idx = jnp.argsort(~accepted, stable=True)[:A_cap]
-        acc_ok = accepted[acc_idx]
+        acc_idx = jnp.argsort(~accepted_stack, stable=True)[:A_cap]
+        acc_ok = accepted_stack[acc_idx]
         rows = outs.H.shape[1]
         H_big = (outs.H[acc_idx] * acc_ok[:, None, None]).reshape(A_cap * rows, d)
         f_big = (outs.f[acc_idx] * acc_ok[:, None]).reshape(-1)
@@ -512,6 +560,35 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             visual_r, noise_scale, chi_outlier_r=-1.0, rmse_threshold=-1.0,
             apply_update=jnp.any(acc_ok))
         m, P = res.m, res.P
+
+        if M > 0:
+            # vectorized inserts: one masked covariance reset + mean write
+            # for ALL promoted slots (equivalent to insert_map_point per
+            # slot; the blocks are disjoint)
+            offs = d - 3 * M + 3 * mp_slot_of  # (NV,)
+            idx = jnp.arange(d)
+            in_block = jnp.any(
+                can_promote[:, None]
+                & (idx[None, :] >= offs[:, None])
+                & (idx[None, :] < offs[:, None] + 3), axis=0)  # (d,)
+            keep = (~in_block).astype(dtype)
+            NOISE = 1e3
+            P_ins = P * (keep[:, None] * keep[None, :]) + jnp.diag(
+                jnp.where(in_block, NOISE * NOISE, 0.0).astype(dtype))
+            m_ins = jnp.where(in_block, jnp.zeros_like(m), m)
+            # scatter the triangulated points into their blocks
+            put = jnp.zeros((d,), dtype)
+            for ci in range(3):
+                put = put.at[jnp.where(can_promote, offs + ci, d)].add(
+                    jnp.where(can_promote, outs.pf[:, ci], 0.0), mode="drop")
+            m_ins = m_ins + put
+            do_ins = jnp.any(can_promote)
+            m = jnp.where(do_ins, m_ins, m)
+            P = jnp.where(do_ins, P_ins, P)
+            # claim the slots
+            mp_ids_arr = mp_ids_arr.at[
+                jnp.where(can_promote, mp_slot_of, M)].set(
+                jnp.where(can_promote, track_ids[order], -1), mode="drop")
         P = 0.5 * (P + P.T)
 
         # mark used for accepted tracks (vectorized GAP marking)
@@ -537,20 +614,25 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
         pc_points = jnp.where(pc_valid[:, None], outs.pf, 0.0)
         pc_status = jnp.where(
             ~active, PF_UNUSED,
-            jnp.where(accepted, PF_POSE_TRAIL,
-                      jnp.where(attempted & ~inlier_raw, PF_OUTLIER, PF_UNUSED))).astype(jnp.int32)
+            jnp.where(mp_ordered, PF_HYBRID,
+                      jnp.where(accepted, PF_POSE_TRAIL,
+                                jnp.where(attempted & ~inlier_raw,
+                                          PF_OUTLIER, PF_UNUSED)))).astype(jnp.int32)
         pc_ids = jnp.where(pc_valid, track_ids[order], -1)
 
         too_many_failures = (n_attempts - n_success) > 5
         need_more_final = ((po.maxSuccessfulVisualUpdates <= 0) | (n_success < po.maxSuccessfulVisualUpdates)) & \
                           ((po.maxVisualUpdates <= 0) | (n_attempts < po.maxVisualUpdates))
+        new_trail = trail_state._replace(kf_used=kf_used)
+        if M > 0:
+            new_trail = new_trail._replace(map_point_ids=mp_ids_arr)
         state = state._replace(
             ekf=ekf._replace(m=m, P=P),
-            trail=trail_state._replace(kf_used=kf_used),
+            trail=new_trail,
             rng=rng, blacklist_flags=bl_flags, blacklist_ids=bl_ids)
         return state, (pc_points, pc_status, pc_ids), need_more_final, too_many_failures
 
-    use_batched = bool(getattr(po, "batchVisualUpdate", False)) and M == 0
+    use_batched = bool(getattr(po, "batchVisualUpdate", False))
 
     # ------------------------------------------------------------- the step
     def process_frame(state: BackendState, tracker_in: TrackerInput):
