@@ -353,21 +353,35 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
         if use_stereo:
             px = px.at[:, 1, :].set(jnp.where(keep[:, None], right_px, 0.0))
 
-        # --- new feature detection (reference: detectNewFeatures) ---
+        # --- new feature detection (reference: detectNewFeatures; only when
+        # >10% of slots are free, tracker.cpp:672-703). lax.cond skips the
+        # detection program entirely on full frames in the un-vmapped
+        # (single-sequence / live) path; under vmap it lowers to select and
+        # both branches run, which matches the old behavior
         missing = T - jnp.sum(keep)
         do_detect = missing >= T // 10
-        det_xy, det_score, det_valid = detect(
-            img, px[:, 0, :], keep, ts.mask_scale, T)
+
+        def run_detect(_):
+            det_xy, det_score, det_valid = detect(
+                img, px[:, 0, :], keep, ts.mask_scale, T)
+            if use_stereo:
+                # fill-time stereo match with the shallow guided path (guess
+                # = zero disparity): 2-level LK catches ~+-30 px, i.e. depth
+                # down to ~f*baseline/30; nearer fills fail the epipolar gate
+                # and the slot retries next frame
+                det_right, det_sok = stereo_match(
+                    cur_pyr, cur_grads, right_pyr, det_xy, det_valid,
+                    guesses=det_xy)
+                return det_xy, det_valid & det_sok, det_right
+            return det_xy, det_valid, det_xy
+
+        def skip_detect(_):
+            z = jnp.zeros((T, 2), dtype)
+            return z, jnp.zeros((T,), bool), z
+
+        det_xy, det_valid, det_right = jax.lax.cond(
+            do_detect, run_detect, skip_detect, None)
         det_valid = det_valid & do_detect
-        if use_stereo:
-            # fill-time stereo match with the shallow guided path (guess =
-            # zero disparity): 2-level LK catches ~+-30 px, i.e. depth down
-            # to ~f*baseline/30; nearer fills fail the epipolar gate and the
-            # slot retries next frame
-            det_right, det_sok = stereo_match(
-                cur_pyr, cur_grads, right_pyr, det_xy, det_valid,
-                guesses=det_xy)
-            det_valid = det_valid & det_sok
         # fill free slots with detections, in order
         free = ~keep
         free_order = jnp.argsort(~free, stable=True)  # free slots first

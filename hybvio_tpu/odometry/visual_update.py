@@ -158,7 +158,13 @@ def make_prepare_track_update(po, imu_to_camera, second_imu_to_camera, use_stere
             tri = triangulate(pose_states, ips, mask)
             pf = tri.pf
             depth = jnp.linalg.norm(pf - trail_from_states(pose_states).p[0])
-            bad_depth = (depth < po.triangulationMinDist) | (depth > po.triangulationMaxDist)
+            # the reference default maxDist is 1e300; map anything beyond the
+            # dtype's range to +inf instead of tripping numpy's overflow-
+            # on-cast warning at trace time
+            max_dist = po.triangulationMaxDist
+            if max_dist > float(jnp.finfo(depth.dtype).max):
+                max_dist = float("inf")
+            bad_depth = (depth < po.triangulationMinDist) | (depth > max_dist)
             tri_status = jnp.where(
                 (tri.status == TRI_OK) & bad_depth, 5, tri.status
             ).astype(jnp.int32)
