@@ -391,6 +391,28 @@ class VioApi:
         elif self._status != 0 and session_status == 0 and timer_expired:
             self.reset(keep_pose=True, t=t)
 
+    def lock_biases(self) -> None:
+        """Freeze IMU bias estimates (reference: InternalAPI::lockBiases,
+        internal.hpp:246; ekf.cpp:944-947). No-op before the first frame."""
+        if self._state is not None:
+            from ..ekf import lock_biases as _lb
+
+            self._state = self._state._replace(
+                backend=self._state.backend._replace(
+                    ekf=_lb(self._state.backend.ekf)))
+
+    def condition_on_last_pose(self) -> None:
+        """Schur-condition the state on the newest pose (reference:
+        InternalAPI::conditionOnLastPose, internal.hpp:247; ekf.cpp:928-942).
+        No-op before the first frame."""
+        if self._state is not None:
+            from ..ekf import condition_on_last_pose as _cp
+
+            self._state = self._state._replace(
+                backend=self._state.backend._replace(
+                    ekf=_cp(self._state.backend.ekf,
+                            self.params.odometry.cameraTrailLength)))
+
     def reset(self, keep_pose: bool = False, t: Optional[float] = None) -> None:
         """(reference: Control::reset)"""
         import jax.numpy as jnp

@@ -254,3 +254,51 @@ def test_cli_recording_pointcloud_visu_resize(dataset, tmp_path):
     est = np.array([[json.loads(l)["position"][k] for k in "xyz"]
                     for l in open(out_path)])
     assert np.isfinite(est).all()
+
+
+@pytest.mark.slow
+def test_api_state_surgery(dataset):
+    """lockBiases / conditionOnLastPose API parity (reference:
+    internal.hpp:246-247; ekf.cpp:928-947)."""
+    from hybvio_tpu.api.vio import VioApi
+    from hybvio_tpu.config import Parameters
+
+    p = Parameters()
+    jio.set_parameters_from_data(p, os.path.join(dataset, "data.jsonl"))
+    p.tracker.focalLength = 260.0
+    p.tracker.principalPointX = 160.0
+    p.tracker.principalPointY = 120.0
+    p.tracker.maxTracks = 32
+    p.odometry.cameraTrailLength = 6
+    p.tracker.pyrLKMaxLevel = 2
+
+    api = VioApi(p, 320, 240)
+    api.lock_biases()  # no-op before init
+    n = [0]
+    api.on_output = lambda o: n.__setitem__(0, n[0] + 1)
+    for ev in jio.read_jsonl_events(os.path.join(dataset, "data.jsonl")):
+        if ev.kind == jio.GYROSCOPE:
+            api.add_gyro(ev.t, ev.values)
+        elif ev.kind == jio.ACCELEROMETER:
+            api.add_acc(ev.t, ev.values)
+        elif ev.kind == jio.FRAME:
+            from hybvio_tpu.io.video import open_frame_source
+            if not hasattr(api, "_test_src"):
+                api._test_src = open_frame_source(dataset)
+            api.add_frame_mono(ev.t, api._test_src.frame(ev.frames_index, 0))
+            if n[0] >= 10:
+                break
+    assert n[0] >= 10
+    P_before = np.asarray(api._state.backend.ekf.P)
+    api.lock_biases()
+    P_locked = np.asarray(api._state.backend.ekf.P)
+    # bias blocks (BGA 10:13, BAA 13:16) must be zeroed
+    assert np.abs(P_locked[10:16, :]).max() == 0.0
+    assert np.abs(P_locked[:, 10:16]).max() == 0.0
+    assert np.abs(P_before[10:16, 10:16]).max() > 0.0
+
+    api.condition_on_last_pose()
+    P_cond = np.asarray(api._state.backend.ekf.P)
+    assert np.isfinite(P_cond).all()
+    # conditioning can only shrink marginal variances
+    assert np.diag(P_cond)[:3].max() <= np.diag(P_locked)[:3].max() + 1e-9
