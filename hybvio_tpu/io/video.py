@@ -47,7 +47,19 @@ class NpyFrameSource(FrameSource):
 
 
 def load_image_file(path: str) -> np.ndarray:
-    """Load one image file as grayscale float [0, 1] via PIL."""
+    """Load one image file as grayscale float [0, 1].
+
+    PNG/PGM go through the native decoder (native/image_decode.cpp) when
+    built — it runs outside the GIL, so PrefetchingSource threads genuinely
+    overlap decode with device compute, and it is ~4x faster than PIL on
+    EuRoC-sized frames. Everything else (or a decode error, e.g. interlaced
+    PNG) falls back to PIL."""
+    if path.endswith((".png", ".pgm", ".PNG", ".PGM")):
+        from .native_image import decode_gray_native
+
+        img = decode_gray_native(path)
+        if img is not None:
+            return img
     from PIL import Image
 
     return np.asarray(Image.open(path).convert("L"), dtype=np.float32) / 255.0

@@ -16,7 +16,7 @@ def build(force: bool = False) -> str:
             os.path.getmtime(OUT) >= os.path.getmtime(s) for s in srcs):
         return OUT
     cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-shared", "-fPIC",
-           "-o", OUT] + srcs
+           "-o", OUT] + srcs + ["-lz"]
     subprocess.check_call(cmd)
     return OUT
 
