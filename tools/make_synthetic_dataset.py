@@ -12,6 +12,13 @@ import sys
 import numpy as np
 
 
+
+import os
+import sys
+
+# run from anywhere without touching PYTHONPATH (the axon jax
+# plugin lives on the ambient PYTHONPATH; don't make users replace it)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def make_dataset(out_dir: str, duration: float = 6.0, width: int = 320,
                  height: int = 240, fx: float = 260.0, imu_rate: float = 100.0,
                  frame_rate: float = 10.0, seed: int = 0, n_landmarks: int = 300,

@@ -19,6 +19,13 @@ import tempfile
 import time
 
 
+
+import os
+import sys
+
+# run from anywhere without touching PYTHONPATH (the axon jax
+# plugin lives on the ambient PYTHONPATH; don't make users replace it)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def gt_from_dataset(dataset: str):
     import numpy as np
 
