@@ -73,6 +73,7 @@ class VioApi:
         self._init_fn, vio_step = make_vio(
             params, self.derived, self.cameras, dtype=self._dtype)
         self._vio_step = jax.jit(vio_step) if jit else vio_step
+        self._imu_only = jax.jit(vio_step.imu_only) if jit else vio_step.imu_only
         self._jnp = jnp
 
         self.sample_sync = SampleSync(params.odometry)
@@ -296,20 +297,32 @@ class VioApi:
             self._ensure_state(image, synced.t, second)
             return
 
-        n = min(len(samples), self.S)
-        samples = samples[-self.S:]
-        t = np.full(self.S, samples[-1].t)
-        g = np.zeros((self.S, 3))
-        a = np.zeros((self.S, 3))
-        valid = np.zeros(self.S, bool)
-        for i, s in enumerate(samples):
-            t[i] = s.t
-            g[i] = s.l
-            a[i] = s.f
-            valid[i] = True
-        dtype = self._dtype
-        batch = ImuBatch(jnp.asarray(t, dtype), jnp.asarray(g, dtype),
-                         jnp.asarray(a, dtype), jnp.asarray(valid))
+        def imu_batch(chunk):
+            # fixed (S,)-shaped batch; tail padding is valid=False and skipped
+            # inside the scan, so only two compiled shapes ever exist
+            t = np.full(self.S, chunk[-1].t if chunk else synced.t)
+            g = np.zeros((self.S, 3))
+            a = np.zeros((self.S, 3))
+            valid = np.zeros(self.S, bool)
+            for i, s in enumerate(chunk):
+                t[i] = s.t
+                g[i] = s.l
+                a[i] = s.f
+                valid[i] = True
+            dtype = self._dtype
+            return ImuBatch(jnp.asarray(t, dtype), jnp.asarray(g, dtype),
+                            jnp.asarray(a, dtype), jnp.asarray(valid))
+
+        # Process ALL pending samples: every chunk of S beyond the last rides
+        # an IMU-only propagation step, the final <=S samples ride the frame
+        # step. The reference integrates every synced sample
+        # (control.cpp:79-155); truncating to the last S would silently drop
+        # motion at high IMU rates (e.g. 800 Hz IMU at 10 FPS frames).
+        if len(samples) > self.S:
+            lead, samples = samples[:-self.S], samples[-self.S:]
+            for i in range(0, len(lead), self.S):
+                self._state = self._imu_only(self._state, imu_batch(lead[i:i + self.S]))
+        batch = imu_batch(samples)
         self.time_stats.start_frame()
         with self.time_stats.scope("odometry+tracker step"):
             if self.params.tracker.useStereo:

@@ -233,4 +233,14 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=jnp.float64,
         bstate, out = frame_step.process_frame(bstate, tin)
         return VioState(backend=bstate, tracker=tstate, tracker_ready=state.tracker_ready), out
 
+    def imu_only(state: VioState, imu: ImuBatch) -> VioState:
+        """Propagate the filter through an IMU batch with no frame attached.
+
+        Lets the host process arbitrarily many pending IMU samples in
+        fixed-size chunks (reference processes EVERY synced sample,
+        control.cpp:79-155) instead of truncating to the last chunk.
+        """
+        return state._replace(backend=frame_step.imu_scan(state.backend, imu))
+
+    vio_step.imu_only = imu_only
     return init_fn, vio_step
