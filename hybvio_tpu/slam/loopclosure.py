@@ -1,0 +1,106 @@
+"""Loop-closure geometric verification: 3D-3D similarity RANSAC, TPU-native.
+
+The reference verifies DBoW2 loop candidates with a RANSAC over matched map
+points and gates the implied drift (reference parameters:
+slam.loopClosureRansacIterations / loopClosureInlierThreshold /
+loopClosureRansacMinInliers / loopClosureRansacFixScale / maximumDrift*,
+codegen/parameter_definitions.c:369-388; module source not in snapshot).
+
+Redesign: all hypotheses run as ONE vmapped batch (matching the front-end
+RANSAC design, frontend/ransac.py): each hypothesis draws 3 correspondences,
+solves the closed-form Kabsch/Umeyama alignment (3x3 SVD), counts inliers
+within the threshold, and the best model is refit on its inliers.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _kabsch(src, dst, w, with_scale):
+    """Weighted similarity dst ~ s R src + t. src/dst (M,3), w (M,)."""
+    wsum = jnp.maximum(jnp.sum(w), 1e-9)
+    mu_s = jnp.sum(src * w[:, None], axis=0) / wsum
+    mu_d = jnp.sum(dst * w[:, None], axis=0) / wsum
+    xs = src - mu_s
+    xd = dst - mu_d
+    C = (xd * w[:, None]).T @ xs / wsum
+    U, S, Vt = jnp.linalg.svd(C)
+    d = jnp.sign(jnp.linalg.det(U @ Vt))
+    D = jnp.diag(jnp.asarray([1.0, 1.0, 0.0], C.dtype) + jnp.asarray([0.0, 0.0, 1.0], C.dtype) * d)
+    R = U @ D @ Vt
+    var_s = jnp.sum(w[:, None] * xs * xs) / wsum
+    s = jnp.where(with_scale,
+                  jnp.sum(S * jnp.diagonal(D)) / jnp.maximum(var_s, 1e-12),
+                  1.0)
+    t = mu_d - s * (R @ mu_s)
+    return R, t, s
+
+
+@partial(jax.jit, static_argnames=("n_hyp", "with_scale"))
+def ransac_similarity(src, dst, valid, key, n_hyp: int = 100,
+                      threshold: float = 0.1, with_scale: bool = False):
+    """RANSAC dst ~ s R src + t over (M,3) correspondences with validity mask.
+
+    Returns (R (3,3), t (3,), s (), inlier_mask (M,), n_inliers ()).
+    """
+    M = src.shape[0]
+    dtype = src.dtype
+    nv = jnp.maximum(jnp.sum(valid), 1)
+
+    def hypothesis(k):
+        # draw 3 correspondences among valid (rejection-free: index into the
+        # valid set by modular arithmetic over a random permutation seed)
+        idx = jax.random.randint(k, (3,), 0, nv)
+        order = jnp.argsort(~valid)  # valid entries first, stable
+        sel = order[idx]
+        w3 = jnp.ones(3, dtype)
+        R, t, s = _kabsch(src[sel], dst[sel], w3, with_scale)
+        pred = s * (src @ R.T) + t
+        err = jnp.linalg.norm(pred - dst, axis=-1)
+        inl = (err < threshold) & valid
+        return jnp.sum(inl), (R, t, s)
+
+    keys = jax.random.split(key, n_hyp)
+    scores, models = jax.vmap(hypothesis)(keys)
+    best = jnp.argmax(scores)
+    R, t, s = jax.tree_util.tree_map(lambda m: m[best], models)
+
+    # refit on inliers of the best model
+    pred = s * (src @ R.T) + t
+    inl = (jnp.linalg.norm(pred - dst, axis=-1) < threshold) & valid
+    w = inl.astype(dtype)
+    R2, t2, s2 = _kabsch(src, dst, w, with_scale)
+    pred2 = s2 * (src @ R2.T) + t2
+    inl2 = (jnp.linalg.norm(pred2 - dst, axis=-1) < threshold) & valid
+    # keep the refit only if it did not lose inliers
+    better = jnp.sum(inl2) >= jnp.sum(inl)
+    R = jnp.where(better, R2, R)
+    t = jnp.where(better, t2, t)
+    s = jnp.where(better, s2, s)
+    inl = jnp.where(better, inl2, inl)
+    return R, t, s, inl, jnp.sum(inl)
+
+
+def ransac_similarity_np(src, dst, seed: int = 0, n_hyp: int = 100,
+                         threshold: float = 0.1, with_scale: bool = False,
+                         pad: int = 256):
+    """Host wrapper: pads to a static correspondence count for jit reuse."""
+    src = np.asarray(src, np.float64)
+    dst = np.asarray(dst, np.float64)
+    M = src.shape[0]
+    P = pad
+    while P < M:
+        P *= 2
+    sp = np.zeros((P, 3)); sp[:M] = src
+    dp = np.zeros((P, 3)); dp[:M] = dst
+    vp = np.zeros(P, bool); vp[:M] = True
+    key = jax.random.PRNGKey(seed)
+    R, t, s, inl, n = ransac_similarity(
+        jnp.asarray(sp), jnp.asarray(dp), jnp.asarray(vp), key,
+        n_hyp=n_hyp, threshold=threshold, with_scale=with_scale)
+    return (np.asarray(R), np.asarray(t), float(s),
+            np.asarray(inl)[:M], int(n))

@@ -10,8 +10,17 @@ comments). Architecture:
     decision & culling) — dynamic structures at keyframe rate (~Hz), matching
     the reference's dedicated SLAM thread;
   * device-side math — local bundle adjustment (slam/ba.py: batched GN +
-    Schur), ORB descriptors and loop-closure scoring/matching (slam/orb.py) —
-    jitted with fixed shapes.
+    Schur), pose-graph optimization (slam/posegraph.py), ORB descriptors and
+    matching (slam/orb.py), BoW vocabulary scoring (slam/vocabulary.py), and
+    loop-closure RANSAC (slam/loopclosure.py) — jitted with fixed shapes.
+
+Loop-closure pipeline (reference: DBoW2 retrieval + feature matching +
+RANSAC + drift gates + correction, parameter_definitions.c:369-388,459-466):
+BoW vocabulary query over the inverted index -> per-feature Lowe-ratio
+matching -> 3D-3D similarity RANSAC -> drift gates -> correction, either a
+rigid segment move (slam.loopClosureRigidTransform) or a pose-graph
+optimization over ALL keyframes with the loop edge (default), optionally
+followed by a global structure BA (slam.globalBAAfterLoop).
 
 Contract (reference: slam.hpp addFrame): the caller feeds every
 keyframeCandidateInterval-th frame with the tracker's features and the
@@ -67,7 +76,6 @@ class KeyFrame:
     norm_pts: np.ndarray  # (F, 2) normalized image points
     descriptors: Optional[np.ndarray] = None  # (F, 256) +/-1
     desc_valid: Optional[np.ndarray] = None  # (F,)
-    signature: Optional[np.ndarray] = None  # (256,)
 
 
 @dataclasses.dataclass
@@ -77,6 +85,7 @@ class MapPoint:
     position: np.ndarray  # (3,)
     observations: Dict[int, np.ndarray]  # kf_id -> normalized point
     triangulated: bool = False
+    created_t: float = 0.0
 
 
 @dataclasses.dataclass
@@ -94,11 +103,19 @@ class LoopClosureEvent:
     applied: bool
 
 
+@dataclasses.dataclass
+class LoopEdge:
+    kf_a: int
+    kf_b: int
+    rel: np.ndarray  # (7,) measured relative pose a->b (in a's frame)
+
+
 class Slam:
     """SLAM backend (reference: slam::Slam)."""
 
     def __init__(self, params, max_ba_keyframes: Optional[int] = None,
-                 max_ba_points: int = 128, compute_descriptors: bool = True):
+                 max_ba_points: int = 128, compute_descriptors: bool = True,
+                 vocabulary_words: int = 512):
         ps = params.slam
         self.ps = ps
         self.keyframes: Dict[int, KeyFrame] = {}
@@ -110,9 +127,20 @@ class Slam:
         self.MP = max_ba_points
         self.compute_descriptors = compute_descriptors
         self.loop_events: List[LoopClosureEvent] = []
+        self.loop_edges: List[LoopEdge] = []
         self._ba_jit = None
         self._orb_jit = None
         self._last_kf_time = -1e18
+        self._loop_seed = 0
+
+        # BoW vocabulary database (reference: DBoW2 + vocabularyPath; ours
+        # trains online and can load/save an .npy codebook)
+        from .vocabulary import Vocabulary
+
+        vocab_path = None
+        if ps.vocabularyPath and str(ps.vocabularyPath).endswith(".npy"):
+            vocab_path = str(ps.vocabularyPath)
+        self.vocabulary = Vocabulary(n_words=vocabulary_words, path=vocab_path)
 
     # ---------------------------------------------------------------- input
 
@@ -149,11 +177,14 @@ class Slam:
 
         self.keyframes[kf.kf_id] = kf
         self.kf_order.append(kf.kf_id)
-        self._update_map_points(kf)
+        if kf.descriptors is not None:
+            self.vocabulary.add_keyframe(kf.kf_id, kf.descriptors, kf.desc_valid)
+        self._update_map_points(kf, t)
 
         loop = self._detect_loop_closure(kf)
         self._local_ba()
-        self._cull()
+        self._cull_map_points(t)
+        self._cull_keyframes()
 
         return SlamResult(
             pose_cw=pose_to_mat(self.keyframes[kf.kf_id].pose),
@@ -161,16 +192,26 @@ class Slam:
             loop_closed=loop is not None and loop.applied)
 
     def end(self, map_save_path: Optional[str] = None) -> bool:
-        """(reference: slam::Slam::end) final global adjustment; optionally
-        save the keyframe map poses (reference: -slamMapPosesPath /
-        slamDebug->mapSavePath, main.cpp:518): one JSON line per keyframe
-        {time, position, orientation (camera-to-world)} plus map points."""
-        self._local_ba(global_ba=True)
+        """(reference: slam::Slam::end) final GLOBAL adjustment over all
+        keyframes — pose-graph over the full trajectory (odometry edges +
+        accumulated loop edges) followed by windowed structure-BA sweeps
+        covering every keyframe — then optionally save the map (reference:
+        -slamMapPosesPath / slamDebug->mapSavePath, main.cpp:518): one JSON
+        line per keyframe {time, position, orientation} plus map points."""
+        if len(self.kf_order) >= 3:
+            self._pose_graph_all(extra_edges=self.loop_edges,
+                                 iterations=max(self.ps.globalBAIterations, 5))
+            # structure refinement sweeps: windows of NK keyframes with 50%
+            # overlap so every keyframe is adjusted at least once
+            NK = self.NK
+            n = len(self.kf_order)
+            step = max(NK // 2, 1)
+            for start in range(0, max(n - NK, 0) + 1, step):
+                self._local_ba(window=self.kf_order[start:start + NK])
+                if start + NK >= n:
+                    break
         if map_save_path:
             import json
-
-            from ..geometry.quaternion import rmat_to_quat
-            import jax.numpy as jnp
 
             with open(map_save_path, "w") as f:
                 for kid in self.kf_order:
@@ -213,7 +254,7 @@ class Slam:
         return False
 
     def _add_descriptors(self, kf: KeyFrame, image) -> None:
-        from .orb import frame_signature, orb_descriptors
+        from .orb import orb_descriptors
 
         F = kf.norm_pts.shape[0]
         if F == 0:
@@ -240,15 +281,15 @@ class Slam:
         desc, ok = self._orb_jit(jnp.asarray(image, jnp.float32), jnp.asarray(ppad), jnp.asarray(vpad))
         kf.descriptors = np.asarray(desc)[:n]
         kf.desc_valid = np.asarray(ok)[:n]
-        kf.signature = np.asarray(frame_signature(desc, ok))
 
-    def _update_map_points(self, kf: KeyFrame) -> None:
+    def _update_map_points(self, kf: KeyFrame, t: float) -> None:
         for tid, pt in zip(kf.track_ids, kf.norm_pts):
             tid = int(tid)
             mp = self.points.get(tid)
             if mp is None:
                 mp = MapPoint(point_id=self.next_point_id, track_id=tid,
-                              position=np.zeros(3), observations={})
+                              position=np.zeros(3), observations={},
+                              created_t=t)
                 self.next_point_id += 1
                 self.points[tid] = mp
             mp.observations[kf.kf_id] = np.asarray(pt, dtype=np.float64)
@@ -295,21 +336,26 @@ class Slam:
                 lambda prob: ba_iterate(prob, iterations=8))
         return self._ba_jit
 
-    def _local_ba(self, global_ba: bool = False) -> None:
+    def _local_ba(self, window: Optional[List[int]] = None) -> None:
         """(reference: applyLocalBundleAdjustment over localBAProblemSize
-        keyframes with odometry priors)"""
-        if not self.ps.applyLocalBundleAdjustment and not global_ba:
+        keyframes with odometry priors); window selects explicit keyframe ids
+        (used by end()'s global sweeps), default = the last NK."""
+        if not self.ps.applyLocalBundleAdjustment and window is None:
             return
         if len(self.kf_order) < max(self.ps.minKeyframesInBA, 2):
             return
         NK = self.NK
-        kf_ids = self.kf_order[-NK:]
+        kf_ids = window if window is not None else self.kf_order[-NK:]
+        kf_ids = kf_ids[:NK]
         kfs = [self.keyframes[i] for i in kf_ids]
         nk = len(kfs)
+        if nk < 2:
+            return
 
         # choose map points observed by these keyframes (most observations first)
+        kf_id_set = set(kf_ids)
         cands = [mp for mp in self.points.values()
-                 if mp.triangulated and sum(1 for k in kf_ids if k in mp.observations) >= 2]
+                 if mp.triangulated and sum(1 for k in kf_id_set if k in mp.observations) >= 2]
         cands.sort(key=lambda mp: -len(mp.observations))
         cands = cands[: self.MP]
         mp_n = len(cands)
@@ -360,41 +406,72 @@ class Slam:
     # ----------------------------------------------------------- loop close
 
     def _detect_loop_closure(self, kf: KeyFrame) -> Optional[LoopClosureEvent]:
-        """(reference: DBoW2 getBowSimilar + match + RANSAC + drift gates +
-        optional application, parameter_definitions.c:369-388)"""
+        """BoW retrieval -> feature matching -> 3D-3D RANSAC -> drift gates ->
+        correction (reference: parameter_definitions.c:369-388,459-466)."""
         ps = self.ps
-        if kf.signature is None or len(self.kf_order) < ps.adjacentSpaceSize + 2:
+        if kf.descriptors is None or len(self.kf_order) < ps.adjacentSpaceSize + 2:
             return None
-        old_ids = self.kf_order[: -ps.adjacentSpaceSize]
-        cands = [self.keyframes[i] for i in old_ids
-                 if self.keyframes[i].signature is not None]
+        # exclude the adjacent space (recent keyframes) from retrieval
+        exclude = set(self.kf_order[-ps.adjacentSpaceSize:])
+        # normalize candidate scores against an adjacent keyframe's score
+        # (DBoW2/ORB-SLAM practice: candidates must beat a fraction of the
+        # score the query gets against its own neighborhood)
+        s_adj = 0.0
+        for other in reversed(self.kf_order[:-1]):
+            s = self.vocabulary.score(kf.kf_id, other)
+            if s > 0:
+                s_adj = s
+                break
+        min_score = ps.bowScoreRatio * s_adj
+        cands = self.vocabulary.query(
+            kf.kf_id, exclude=exclude,
+            min_in_common_ratio=ps.bowMinInCommonRatio,
+            min_score=min_score, max_results=3)
         if not cands:
             return None
-        sims = np.array([float(kf.signature @ c.signature) for c in cands])
-        best_i = int(np.argmax(sims))
-        if sims[best_i] < 0.75:  # conservative signature gate
-            return None
-        cand = cands[best_i]
 
         from .orb import match_descriptors
 
-        if kf.descriptors is None or cand.descriptors is None:
-            return None
-        Ta, Tb = kf.descriptors.shape[0], cand.descriptors.shape[0]
-        PAD = 256
-        da = np.zeros((PAD, 256), np.float32); da[:Ta] = kf.descriptors
-        va = np.zeros(PAD, bool); va[:Ta] = kf.desc_valid
-        db = np.zeros((PAD, 256), np.float32); db[:Tb] = cand.descriptors
-        vb = np.zeros(PAD, bool); vb[:Tb] = cand.desc_valid
-        midx, _ = match_descriptors(
-            jnp.asarray(da), jnp.asarray(va), jnp.asarray(db), jnp.asarray(vb),
-            lowe_ratio=ps.loopClosureFeatureMatchLoweRatio)
-        midx = np.asarray(midx)[:Ta]
-        matches = [(i, int(j)) for i, j in enumerate(midx) if j >= 0 and j < Tb]
-        if len(matches) < ps.minLoopClosureFeatureMatches:
-            return None
+        best_ev: Optional[LoopClosureEvent] = None
+        kf_tracks = set(int(i) for i in kf.track_ids)
+        for cand_id, _score in cands:
+            cand = self.keyframes.get(cand_id)
+            if cand is None or cand.descriptors is None:
+                continue
+            # covisible neighbors are NOT loops (reference:
+            # minNeighbourCovisiblitities): sharing live tracks means the 3D-3D
+            # verification would be vacuous (same map points on both sides) and
+            # the resulting edge would just bake the current drift in
+            shared = sum(1 for i in cand.track_ids if int(i) in kf_tracks)
+            if shared >= ps.minNeighbourCovisiblitities:
+                continue
+            Ta, Tb = kf.descriptors.shape[0], cand.descriptors.shape[0]
+            PAD = 256
+            da = np.zeros((PAD, 256), np.float32); da[:Ta] = kf.descriptors
+            va = np.zeros(PAD, bool); va[:Ta] = kf.desc_valid
+            db = np.zeros((PAD, 256), np.float32); db[:Tb] = cand.descriptors
+            vb = np.zeros(PAD, bool); vb[:Tb] = cand.desc_valid
+            midx, _ = match_descriptors(
+                jnp.asarray(da), jnp.asarray(va), jnp.asarray(db), jnp.asarray(vb),
+                lowe_ratio=ps.loopClosureFeatureMatchLoweRatio)
+            midx = np.asarray(midx)[:Ta]
+            matches = [(i, int(j)) for i, j in enumerate(midx) if 0 <= j < Tb]
+            if len(matches) < ps.minLoopClosureFeatureMatches:
+                continue
 
-        # geometric verification: 3D-3D between matched triangulated map points
+            applied = self._verify_and_apply(kf, cand, matches)
+            ev = LoopClosureEvent(kf.kf_id, cand.kf_id, len(matches), applied)
+            self.loop_events.append(ev)
+            if best_ev is None or applied:
+                best_ev = ev
+            if applied:
+                break
+        return best_ev
+
+    def _verify_and_apply(self, kf: KeyFrame, cand: KeyFrame, matches) -> bool:
+        """Geometric verification (3D-3D similarity RANSAC over matched map
+        points) + drift gates + correction."""
+        ps = self.ps
         pa, pb = [], []
         for i, j in matches:
             mpa = self.points.get(int(kf.track_ids[i]))
@@ -402,25 +479,77 @@ class Slam:
             if mpa is not None and mpb is not None and mpa.triangulated and mpb.triangulated:
                 pa.append(mpa.position)
                 pb.append(mpb.position)
-        applied = False
-        if len(pa) >= ps.loopClosureRansacMinInliers and ps.applyLoopClosures:
-            from ..eval.ate import umeyama_alignment
+        if len(pa) < max(ps.loopClosureRansacMinInliers, 3) or not ps.applyLoopClosures:
+            return False
 
-            R, tvec, s = umeyama_alignment(
-                np.asarray(pa), np.asarray(pb),
-                with_scale=not ps.loopClosureRansacFixScale)
-            # drift gates (reference: maximumDrift*)
-            dt = max(kf.t - cand.t, 1e-6)
-            drift_m = np.linalg.norm(tvec)
-            ang = np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1))
-            if (drift_m / dt <= ps.maximumDriftMetersPerSecond * dt
-                    and ang / dt <= ps.maximumDriftRadiansPerSecond * dt):
-                self._apply_loop_correction(R, tvec, s, since_kf=cand.kf_id)
-                applied = True
+        from .loopclosure import ransac_similarity_np
 
-        ev = LoopClosureEvent(kf.kf_id, cand.kf_id, len(matches), applied)
-        self.loop_events.append(ev)
-        return ev
+        pa = np.asarray(pa)
+        pb = np.asarray(pb)
+        # RANSAC threshold: loopClosureInlierThreshold is relative (reference
+        # default 0.02, same scale family as relativeReprojectionErrorThreshold);
+        # anchor it to the scene scale = median point distance from the query
+        scene = float(np.median(np.linalg.norm(pa - kf.pose[:3], axis=1)))
+        thr = max(ps.loopClosureInlierThreshold * max(scene, 1.0), 1e-3)
+        self._loop_seed += 1
+        R, tvec, s, inl, n_inl = ransac_similarity_np(
+            pa, pb, seed=self._loop_seed,
+            n_hyp=ps.loopClosureRansacIterations, threshold=thr,
+            with_scale=not ps.loopClosureRansacFixScale)
+        if n_inl < ps.loopClosureRansacMinInliers:
+            return False
+
+        # drift gates (reference: maximumDriftMetersPerSecond / PerTraveled,
+        # maximumDriftRadiansPerSecond / PerTraveled): the implied correction
+        # must be explainable as accumulated drift over the elapsed time AND
+        # the traveled path length between the two keyframes
+        dt = max(kf.t - cand.t, 1e-6)
+        traveled = self._path_length(cand.kf_id, kf.kf_id)
+        drift_m = np.linalg.norm(tvec)
+        ang = np.arccos(np.clip((np.trace(R) - 1) / 2, -1, 1))
+        if drift_m > ps.maximumDriftMetersPerSecond * dt:
+            return False
+        if drift_m > ps.maximumDriftMetersPerTraveled * max(traveled, 1e-6):
+            return False
+        if ang > ps.maximumDriftRadiansPerSecond * dt:
+            return False
+        if ang > ps.maximumDriftRadiansPerTraveled * max(traveled, 1e-6):
+            return False
+
+        # loop edge: measured relative pose cand -> kf AFTER correction
+        T = np.eye(4)
+        T[:3, :3] = s * R
+        T[:3, 3] = tvec
+        corrected_kf_pose = mat_to_pose(T @ pose_to_mat(kf.pose))
+        rel = np.asarray(_relative_pose(
+            jnp.asarray(cand.pose), jnp.asarray(corrected_kf_pose)))
+        self.loop_edges.append(LoopEdge(cand.kf_id, kf.kf_id, rel))
+
+        if ps.loopClosureRigidTransform:
+            self._apply_loop_correction(R, tvec, s, since_kf=cand.kf_id)
+        else:
+            # pose-graph over ALL keyframes with the loop edge (default)
+            self._pose_graph_all(extra_edges=self.loop_edges,
+                                 iterations=self.ps.poseBAIterations + 5)
+            if ps.globalBAAfterLoop:
+                self._global_structure_ba()
+        return True
+
+    def _path_length(self, kf_a: int, kf_b: int) -> float:
+        """Trajectory path length between two keyframes (for the
+        maximumDrift*PerTraveled gates)."""
+        try:
+            ia, ib = self.kf_order.index(kf_a), self.kf_order.index(kf_b)
+        except ValueError:
+            return 0.0
+        if ia > ib:
+            ia, ib = ib, ia
+        d = 0.0
+        for k in range(ia, ib):
+            p0 = self.keyframes[self.kf_order[k]].pose[:3]
+            p1 = self.keyframes[self.kf_order[k + 1]].pose[:3]
+            d += float(np.linalg.norm(p1 - p0))
+        return d
 
     def _apply_loop_correction(self, R, t, s, since_kf: int) -> None:
         """Rigidly move the recent map segment onto the loop-closed frame
@@ -437,18 +566,146 @@ class Slam:
             if mp.triangulated and any(k in moved_kfs for k in mp.observations):
                 mp.position = (T[:3, :3] @ mp.position) + T[:3, 3]
 
+    def _pose_graph_all(self, extra_edges: List[LoopEdge],
+                        iterations: int = 10) -> None:
+        """Pose-graph GN over ALL keyframes: consecutive odometry relative
+        edges + loop edges; map points corrected through their anchor
+        keyframe (OpenVSLAM-style global consistency)."""
+        from .posegraph import PoseGraphProblem, next_pow2, optimize_pose_graph
+
+        n = len(self.kf_order)
+        if n < 3:
+            return
+        N = next_pow2(n)
+        kfs = [self.keyframes[i] for i in self.kf_order]
+        id_to_idx = {kf.kf_id: i for i, kf in enumerate(kfs)}
+        old_poses = {kf.kf_id: kf.pose.copy() for kf in kfs}
+
+        poses = np.zeros((N, 7)); poses[:, 3] = 1.0
+        for i, kf in enumerate(kfs):
+            poses[i] = kf.pose
+
+        edges = []  # (i, j, rel7, w_pos, w_rot)
+        w_pos = float(self.ps.odometryPriorStrengthPosition) / 100.0
+        w_rot = float(self.ps.odometryPriorStrengthRotation) / 100.0
+        for i in range(n - 1):
+            rel = np.asarray(_relative_pose(
+                jnp.asarray(kfs[i].odo_pose), jnp.asarray(kfs[i + 1].odo_pose)))
+            edges.append((i, i + 1, rel, w_pos, w_rot))
+        for le in extra_edges:
+            ia, ib = id_to_idx.get(le.kf_a), id_to_idx.get(le.kf_b)
+            if ia is None or ib is None:
+                continue
+            # loop edges dominate: they encode the verified correction
+            edges.append((ia, ib, le.rel, 10.0 * w_pos, 10.0 * w_rot))
+
+        E = next_pow2(len(edges), lo=8)
+        ei = np.zeros(E, np.int32)
+        ej = np.zeros(E, np.int32)
+        erel = np.zeros((E, 7)); erel[:, 3] = 1.0
+        ewp = np.zeros(E)
+        ewr = np.zeros(E)
+        for k, (i, j, rel, wp, wr) in enumerate(edges):
+            ei[k], ej[k], erel[k], ewp[k], ewr[k] = i, j, rel, wp, wr
+
+        prob = PoseGraphProblem(
+            poses=jnp.asarray(poses), pose_valid=jnp.asarray(np.arange(N) < n),
+            edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
+            edge_rel=jnp.asarray(erel), edge_w_pos=jnp.asarray(ewp),
+            edge_w_rot=jnp.asarray(ewr))
+        new_poses = np.asarray(optimize_pose_graph(prob, iterations=iterations))
+        if not np.isfinite(new_poses[:n]).all():
+            return
+        for i, kf in enumerate(kfs):
+            kf.pose = new_poses[i]
+
+        # correct map points through their anchor (first observing) keyframe
+        for mp in self.points.values():
+            if not mp.triangulated:
+                continue
+            anchor = None
+            for kid in mp.observations:
+                if kid in self.keyframes:
+                    anchor = kid if anchor is None else min(anchor, kid)
+            if anchor is None:
+                continue
+            T_old = pose_to_mat(old_poses.get(anchor, self.keyframes[anchor].pose))
+            T_new = pose_to_mat(self.keyframes[anchor].pose)
+            D = T_new @ np.linalg.inv(T_old)
+            mp.position = D[:3, :3] @ mp.position + D[:3, 3]
+
+    def _global_structure_ba(self) -> None:
+        """Structure BA sweeps covering all keyframes (used when
+        slam.globalBAAfterLoop)."""
+        NK = self.NK
+        n = len(self.kf_order)
+        step = max(NK // 2, 1)
+        for start in range(0, max(n - NK, 0) + 1, step):
+            self._local_ba(window=self.kf_order[start:start + NK])
+            if start + NK >= n:
+                break
+
     # --------------------------------------------------------------- output
 
     def _cloud(self) -> List[Tuple[int, int, np.ndarray]]:
         return [(mp.point_id, mp.track_id, mp.position.copy())
                 for mp in self.points.values() if mp.triangulated]
 
-    def _cull(self) -> None:
-        """Drop map points with no surviving observations and cap memory
-        (reference: cullMapPoints / keyframeCullEnabled; simplified policy)."""
+    # -------------------------------------------------------------- culling
+
+    def _cull_map_points(self, t_now: float) -> None:
+        """Remove map points that failed to become useful (reference:
+        cullMapPoints + minMapPointCullingAge + minObservationsForBA): after
+        a grace period a point must be triangulated and carry enough live
+        observations; observations of removed keyframes are dropped first."""
         if not self.ps.cullMapPoints:
             return
-        dead = [tid for tid, mp in self.points.items()
-                if not mp.observations]
+        min_obs = max(int(self.ps.minObservationsForBA) - 1, 2)
+        dead = []
+        for tid, mp in self.points.items():
+            # drop observations whose keyframe was culled
+            for kid in [k for k in mp.observations if k not in self.keyframes]:
+                del mp.observations[kid]
+            if not mp.observations:
+                dead.append(tid)
+                continue
+            age = t_now - mp.created_t
+            if age > self.ps.minMapPointCullingAge:
+                if not mp.triangulated or len(mp.observations) < min_obs:
+                    dead.append(tid)
         for tid in dead:
             del self.points[tid]
+
+    def _cull_keyframes(self) -> None:
+        """Remove redundant keyframes (reference: keyframeCullEnabled +
+        keyframeCullMaxCriticalRatio): a keyframe whose observed map points
+        are almost all 'non-critical' (still observed by >= 3 keyframes
+        without it) adds nothing and is removed — observations, vocabulary
+        entry and all. Bounds map growth on revisits."""
+        if not self.ps.keyframeCullEnabled or len(self.kf_order) < 4:
+            return
+        protected = set(self.kf_order[-self.ps.adjacentSpaceSize:])
+        protected.add(self.kf_order[0])
+        # keyframes referenced by loop edges anchor the pose graph
+        for le in self.loop_edges:
+            protected.add(le.kf_a)
+            protected.add(le.kf_b)
+        culled = []
+        for kid in list(self.kf_order):
+            if kid in protected:
+                continue
+            obs_pts = [mp for mp in self.points.values() if kid in mp.observations]
+            if not obs_pts:
+                culled.append(kid)
+                continue
+            critical = sum(
+                1 for mp in obs_pts
+                if sum(1 for k in mp.observations if k != kid and k in self.keyframes) < 3)
+            if critical / len(obs_pts) <= self.ps.keyframeCullMaxCriticalRatio:
+                culled.append(kid)
+        for kid in culled:
+            for mp in self.points.values():
+                mp.observations.pop(kid, None)
+            self.vocabulary.remove_keyframe(kid)
+            del self.keyframes[kid]
+            self.kf_order.remove(kid)
