@@ -74,6 +74,11 @@ class VioApi:
             params, self.derived, self.cameras, dtype=self._dtype)
         self._vio_step = jax.jit(vio_step) if jit else vio_step
         self._imu_only = jax.jit(vio_step.imu_only) if jit else vio_step.imu_only
+        # staged programs for the '-timer' per-label report (reference:
+        # per-stage scope timers, ekf.cpp:355 / tracker.cpp:56,249 /
+        # ransac_pipeline.cpp:206-283, reported by main.cpp:1008-1016)
+        self._track_stage = jax.jit(vio_step.track_stage) if jit else vio_step.track_stage
+        self._backend_stage = jax.jit(vio_step.backend_stage) if jit else vio_step.backend_stage
         self._jnp = jnp
 
         self.sample_sync = SampleSync(params.odometry)
@@ -324,18 +329,33 @@ class VioApi:
                 self._state = self._imu_only(self._state, imu_batch(lead[i:i + self.S]))
         batch = imu_batch(samples)
         self.time_stats.start_frame()
-        with self.time_stats.scope("odometry+tracker step"):
-            if self.params.tracker.useStereo:
-                self._state, out = self._vio_step(
-                    self._state, batch, jnp.asarray(image, jnp.float32),
-                    jnp.asarray(second, jnp.float32))
-            else:
-                self._state, out = self._vio_step(
-                    self._state, batch, jnp.asarray(image, jnp.float32))
-            if self.time_stats.enabled:
-                import jax
+        if self.time_stats.enabled:
+            # staged execution with per-label scopes (the fused step cannot be
+            # attributed from the host); blocking probes pin device work to
+            # the right label. Deeper attribution (LK vs detect vs RANSAC) is
+            # in tools/profile_step.py.
+            import jax
 
+            with self.time_stats.scope("KF predict (IMU scan)"):
+                self._state = self._imu_only(self._state, batch)
+                jax.block_until_ready(self._state.backend.ekf.m)
+            imgs = (jnp.asarray(image, jnp.float32),)
+            if self.params.tracker.useStereo:
+                imgs = imgs + (jnp.asarray(second, jnp.float32),)
+            with self.time_stats.scope("tracker (flow+LK+detect+RANSAC)"):
+                self._state, tin = self._track_stage(
+                    self._state, jnp.asarray(batch.t[-1], self._dtype), *imgs)
+                jax.block_until_ready(tin.pixels)
+            with self.time_stats.scope("visual update + augmentation"):
+                self._state, out = self._backend_stage(self._state, tin)
                 jax.block_until_ready(out.position)
+        elif self.params.tracker.useStereo:
+            self._state, out = self._vio_step(
+                self._state, batch, jnp.asarray(image, jnp.float32),
+                jnp.asarray(second, jnp.float32))
+        else:
+            self._state, out = self._vio_step(
+                self._state, batch, jnp.asarray(image, jnp.float32))
 
         # time-shift feedback into sample sync (reference: control.cpp:97-106)
         if self.params.odometry.estimateImuCameraTimeShift:
@@ -347,11 +367,12 @@ class VioApi:
         # payload threaded to the views, odometry/tagged_frame.hpp:33-71)
         self.last_frame_output = out
         if self.slam is not None and bool(out.keyframe):
-            self.slam.maybe_submit(
-                np.asarray(image, np.float32),
-                np.asarray(out.position), np.asarray(out.orientation),
-                np.asarray(out.track_ids), np.asarray(out.track_norm),
-                float(out.t), self._frame_count)
+            with self.time_stats.scope("slam submit"):
+                self.slam.maybe_submit(
+                    np.asarray(image, np.float32),
+                    np.asarray(out.position), np.asarray(out.orientation),
+                    np.asarray(out.track_ids), np.asarray(out.track_norm),
+                    float(out.t), self._frame_count)
 
         self._handle_status_and_reset(out)
         if self.debug_api is not None and self.debug_api.publisher is not None:

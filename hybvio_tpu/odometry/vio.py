@@ -184,15 +184,25 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=jnp.float64,
         guess2 = jnp.where((ok0 & ok2)[:, None], pix2, guess)
         return guess.astype(jnp.float32), guess2.astype(jnp.float32)
 
-    def vio_step(state: VioState, imu: ImuBatch, image, second_image=None):
-        # IMU propagation first so the flow prediction uses the pose at the
-        # frame time (reference: tracker runs after ekf->predict,
-        # backend.cpp:735-765)
+    def imu_only(state: VioState, imu: ImuBatch) -> VioState:
+        """Propagate the filter through an IMU batch with no frame attached.
+
+        Lets the host process arbitrarily many pending IMU samples in
+        fixed-size chunks (reference processes EVERY synced sample,
+        control.cpp:79-155) instead of truncating to the last chunk. Also the
+        first stage of vio_step and the '-timer' staged path.
+        """
+        return state._replace(backend=frame_step.imu_scan(state.backend, imu))
+
+    def track_stage(state: VioState, t, image, second_image=None):
+        """Front-end stage: rectify + predicted flow + LK/detect/RANSAC;
+        assumes IMU already propagated to the frame time. Returns
+        (state, TrackerInput)."""
         if use_stereo and second_image is None and isinstance(image, (tuple, list)):
             image, second_image = image
         if use_rectification:
             image, second_image = rectify_inputs(image, second_image)
-        bstate = frame_step.imu_scan(state.backend, imu)
+        bstate = state.backend
         if pt.predictOpticalFlow:
             guess, stereo_guess = predict_flow(bstate, state.tracker)
         else:
@@ -211,7 +221,7 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=jnp.float64,
             c2w_cur = to_camera_to_world(m[POS:POS + 3], m[ORI:ORI + 4], i2c)
             pose_rot = (c2w_prev[:3, :3], c2w_cur[:3, :3])
         tstate, tout = track_frame(
-            state.tracker, image, tkey, imu.t[-1],
+            state.tracker, image, tkey, t,
             flow_guess=guess,
             blacklist_flags=bstate.blacklist_flags,
             blacklist_ids=bstate.blacklist_ids,
@@ -230,17 +240,25 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=jnp.float64,
             keyframe=tout.keyframe,
             stereo_depth=depths,
         )
-        bstate, out = frame_step.process_frame(bstate, tin)
-        return VioState(backend=bstate, tracker=tstate, tracker_ready=state.tracker_ready), out
+        return VioState(backend=bstate, tracker=tstate,
+                        tracker_ready=state.tracker_ready), tin
 
-    def imu_only(state: VioState, imu: ImuBatch) -> VioState:
-        """Propagate the filter through an IMU batch with no frame attached.
+    def backend_stage(state: VioState, tin: TrackerInput):
+        """Estimator stage: visual updates + augmentation (frame_step)."""
+        bstate, out = frame_step.process_frame(state.backend, tin)
+        return state._replace(backend=bstate), out
 
-        Lets the host process arbitrarily many pending IMU samples in
-        fixed-size chunks (reference processes EVERY synced sample,
-        control.cpp:79-155) instead of truncating to the last chunk.
-        """
-        return state._replace(backend=frame_step.imu_scan(state.backend, imu))
+    def vio_step(state: VioState, imu: ImuBatch, image, second_image=None):
+        # IMU propagation first so the flow prediction uses the pose at the
+        # frame time (reference: tracker runs after ekf->predict,
+        # backend.cpp:735-765)
+        state = imu_only(state, imu)
+        state, tin = track_stage(state, imu.t[-1], image, second_image)
+        return backend_stage(state, tin)
 
+    # staged entry points: chunked IMU processing (api/vio.py) and the
+    # per-stage '-timer' path (reference per-label report, main.cpp:1008-1016)
     vio_step.imu_only = imu_only
+    vio_step.track_stage = track_stage
+    vio_step.backend_stage = backend_stage
     return init_fn, vio_step
