@@ -92,6 +92,13 @@ class VioApi:
         from ..utils.timer import TimeStats
 
         self.time_stats = TimeStats(enabled=False)
+        # per-track visual-update outcome counters (reference:
+        # odometry.printVisualUpdateStats -> VisualUpdateStats,
+        # visual_update_stats.hpp:9-40, printed per frame + totals)
+        from ..odometry.stats import VisualUpdateStats
+
+        self.vu_stats = VisualUpdateStats(
+            enabled=bool(params.odometry.printVisualUpdateStats))
         # pose histories for overlays: method name -> [(t, x, y, z), ...]
         # (reference: api.cpp:287-305,447-489 ARKit/ARCore/GPS ingestion)
         self.pose_histories: dict = {}
@@ -101,6 +108,11 @@ class VioApi:
         self._state = None
         self._pending_imu: List = []
         self.S = max_imu_per_frame
+        # pooled gray-frame buffers for _to_gray (reference: util::Allocator)
+        from ..utils.allocator import Allocator
+
+        self._gray_pool = Allocator(
+            lambda: np.empty((height, width), np.float32), max_size=64)
         self._first_image = None
         self._status = 0
         self._last_reset_time = 0.0
@@ -145,16 +157,27 @@ class VioApi:
                 self.recorder.acc(t, xyz)
             self.sample_sync.add_sample_follower(t, xyz)
 
-    @staticmethod
-    def _to_gray(image) -> np.ndarray:
+    def _to_gray(self, image) -> np.ndarray:
         a = np.asarray(image)
         if a.ndim == 3 and a.shape[-1] in (3, 4):
             # color input -> reference luma conversion (image.cpp:345-367)
             from ..frontend.image_utils import rgb_to_gray
 
-            return rgb_to_gray(a[..., :3])
-        if a.dtype == np.uint8:
-            return a.astype(np.float32) / 255.0
+            a = rgb_to_gray(a[..., :3])
+        if a.dtype != np.float32:
+            # convert INTO a pooled host buffer (reference: the image factory
+            # allocates frames from util::Allocator pools, image.cpp /
+            # allocator.hpp:19-68) — avoids a fresh (H,W) allocation per frame
+            # on the ingestion hot path; a slot is free once sample sync and
+            # the frame step dropped their references
+            if a.shape == (self.height, self.width):
+                buf = self._gray_pool.next()
+                if a.dtype == np.uint8:
+                    np.divide(a, 255.0, out=buf, casting="unsafe")
+                else:
+                    np.copyto(buf, a, casting="unsafe")
+                return buf
+            return a.astype(np.float32) / 255.0 if a.dtype == np.uint8 else a.astype(np.float32)
         return a
 
     def add_frame_mono(self, t: float, image) -> None:
@@ -366,6 +389,13 @@ class VioApi:
         # raw per-frame output for visualization taps (reference: TaggedFrame
         # payload threaded to the views, odometry/tagged_frame.hpp:33-71)
         self.last_frame_output = out
+        if self.vu_stats.enabled:
+            self.vu_stats.count_from_output(out.point_cloud_status)
+            line = self.vu_stats.finish_frame()
+            if line:
+                from ..utils.logging import log_info
+
+                log_info("visual updates: %s", line)
         if self.slam is not None and bool(out.keyframe):
             with self.time_stats.scope("slam submit"):
                 self.slam.maybe_submit(

@@ -60,7 +60,7 @@ def run(argv=None) -> int:
         "i", "o", "p", "c", "r", "vr", "pc", "maxFrames", "timer",
         "outputType", "slamMapPosesPath", "v", "targetFrameWidth",
         "targetFrameWidthUpsample", "visuUpdateInterval",
-        "visualizationPath", "stepMode", "windowResolution",
+        "visualizationPath", "stepMode", "interactive", "windowResolution",
         "datasetVideoIndex", "gpu", "skipOpenGlCleanup",
     }
     # display flags map to raster renderers (api/visualizations.py); frames
@@ -340,10 +340,59 @@ def run(argv=None) -> int:
 
     api.on_output = on_output
 
+    # interactive command queue (reference: commandline/command_queue.cpp +
+    # main.cpp key handling; headless here: keys read from stdin). -stepMode
+    # pauses before every frame until a key/newline arrives.
+    cq = None
+    if main_flags.get("stepMode") or main_flags.get("interactive"):
+        import threading
+
+        from .command_queue import Command, CommandQueue
+
+        cq = CommandQueue()
+        cq.step_mode = bool(main_flags.get("stepMode"))
+
+        def read_keys():
+            while True:
+                line = sys.stdin.readline()
+                if not line:  # EOF: leave step mode so the run can finish
+                    cq.step_mode = False
+                    cq._step_event.set()
+                    return
+                cq.push_key(line.strip()[:1] if line.strip() else " ")
+
+        threading.Thread(target=read_keys, daemon=True).start()
+
+    def handle_commands() -> bool:
+        """Dispatch queued commands; returns False on QUIT."""
+        from .command_queue import Command
+
+        while True:
+            cmd = cq.poll()
+            if cmd == Command.NONE:
+                return True
+            if cmd == Command.QUIT:
+                return False
+            if cmd == Command.POSE and api.last_frame_output is not None:
+                o = api.last_frame_output
+                print(f"pose: p={np.asarray(o.position)} "
+                      f"q={np.asarray(o.orientation)}", file=sys.stderr)
+            elif cmd == Command.LOCK_BIASES:
+                api.lock_biases()
+                print("biases locked", file=sys.stderr)
+            elif cmd == Command.CONDITION_ON_LAST_POSE:
+                api.condition_on_last_pose()
+                print("conditioned on last pose", file=sys.stderr)
+
     events = _input_events()
 
     n_frames = 0
     for ev in events:
+        if cq is not None:
+            if ev.kind == jio.FRAME:
+                cq.wait_for_step(timeout=300.0)
+            if not handle_commands():
+                break
         if ev.kind == jio.GYROSCOPE:
             if recorder is not None:
                 recorder.gyro(ev.t, ev.values)
@@ -396,6 +445,9 @@ def run(argv=None) -> int:
           f"({n_frames / max(elapsed, 1e-9):.1f} fps)", file=sys.stderr)
     if main_flags.get("timer"):
         print(api.time_stats.report(), file=sys.stderr)
+    if api.vu_stats.enabled:
+        # totals at exit (reference: printVisualUpdateStats final report)
+        print(api.vu_stats.report(), file=sys.stderr)
     return 0
 
 

@@ -302,3 +302,54 @@ def test_api_state_surgery(dataset):
     assert np.isfinite(P_cond).all()
     # conditioning can only shrink marginal variances
     assert np.diag(P_cond)[:3].max() <= np.diag(P_locked)[:3].max() + 1e-9
+
+
+def test_cli_stepmode_and_vu_stats(dataset, tmp_path, capsys):
+    """-stepMode gates frames on stdin keys (reference: command_queue.cpp
+    step-mode blocking) and -printVisualUpdateStats wires VisualUpdateStats
+    (reference: visual_update_stats.hpp)."""
+    import io
+    import subprocess
+    import sys as _sys
+
+    out_path = str(tmp_path / "out.jsonl")
+    proc = subprocess.run(
+        [_sys.executable, "-m", "hybvio_tpu.cli.main", f"-i={dataset}",
+         f"-o={out_path}", "-maxFrames=6", "-stepMode",
+         "-printVisualUpdateStats", "-visualR=0.3", "-cameraTrailLength=6",
+         "-maxTracks=32", "-focalLength=260", "-principalPointX=160",
+         "-principalPointY=120"],
+        input="\n" * 40, capture_output=True, text=True, timeout=900,
+        cwd="/root/repo")
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "processed 6 frames" in proc.stderr
+    assert "visual update stats" in proc.stderr  # totals report printed
+
+
+def test_gray_pool_reuse():
+    """The pooled gray conversion must reuse buffers once free and never
+    corrupt frames still referenced (reference: allocator.hpp semantics)."""
+    from hybvio_tpu.api.vio import VioApi
+    from hybvio_tpu.config import Parameters
+
+    p = Parameters()
+    p.tracker.focalLength = 100.0
+    p.tracker.principalPointX = 32.0
+    p.tracker.principalPointY = 24.0
+    api = VioApi.__new__(VioApi)  # no heavy init; just the pieces _to_gray uses
+    api.width, api.height = 64, 48
+    import numpy as np
+
+    from hybvio_tpu.utils.allocator import Allocator
+
+    api._gray_pool = Allocator(lambda: np.empty((48, 64), np.float32), max_size=16)
+    img = (np.arange(48 * 64, dtype=np.uint8).reshape(48, 64) % 251)
+    g1 = api._to_gray(img)
+    assert g1.dtype == np.float32
+    np.testing.assert_allclose(g1, img / 255.0, rtol=1e-6)
+    held = g1  # keep a reference: the next call must NOT reuse this slot
+    g2 = api._to_gray(img + 1)
+    assert g2 is not held
+    del held
+    g3 = api._to_gray(img)  # g1's slot is free now; pool may reuse it
+    np.testing.assert_allclose(g3, img / 255.0, rtol=1e-6)
