@@ -11,8 +11,10 @@ Modes (env BENCH_MODE):
     (BASELINE.json config 5); reports AGGREGATE frames/sec/chip.
   single: one sequence; reports per-frame latency FPS.
 
-Configs (env BENCH_CONFIG): mono (default) | stereo | fisheye — the
-BASELINE.json configuration families on the same synthetic world.
+Configs (env BENCH_CONFIG): stereo (default — the BASELINE.json headline
+metric is stereo FPS/chip) | mono | fisheye | vislam (-useSlam through the
+full VioApi with the async SLAM backend) — the BASELINE.json configuration
+families on the same synthetic world.
 
 Env: BENCH_FRAMES (default 300), BENCH_BATCH (default 16),
 BENCH_LK_LEVELS/BENCH_LK_ITERS (LK depth sweeps).
@@ -32,53 +34,34 @@ KB4 = (0.0035, 0.0007, -0.002, 0.0002)
 
 def build_config(config, jnp):
     """(params, cameras, render_fn, seq_kwargs) for a BASELINE config family.
-    render_fn(seq, fi) -> image or (left, right)."""
-    from hybvio_tpu.config import Parameters
+    render_fn(seq, fi) -> image or (left, right). Parameters come from the
+    models/ preset (hybvio_tpu.models.synthetic_bench_params) so the
+    headline numbers are reproducible outside this script."""
     from hybvio_tpu.geometry.cameras import build_fisheye, build_pinhole
     from hybvio_tpu.io.synthetic import (
         SYNTH_IMU_TO_CAMERA, render_view, render_view_fisheye,
     )
+    from hybvio_tpu.models import synthetic_bench_params
 
     dtype = jnp.float32
-    p = Parameters()
-    p.odometry.cameraTrailLength = 12
-    p.tracker.maxTracks = 96
-    p.tracker.pyrLKWindowSize = 15
-    # LK depth/iterations tuned for TPU: the odometry-predicted flow guesses
-    # carry the large-motion load, so 3 pyramid levels + 8 iterations match
-    # the 4-level/20-iter ATE at ~1.8x the single-seq throughput.
-    # Sweep: BENCH_LK_LEVELS=1 (2 levels) reaches ~260 FPS/chip batched with
-    # ATE 0.0051 on this sequence, with less margin for fast motion.
-    p.tracker.pyrLKMaxLevel = int(os.environ.get("BENCH_LK_LEVELS", "2"))
-    p.tracker.pyrLKMaxIter = int(os.environ.get("BENCH_LK_ITERS", "8"))
-    p.tracker.gfttMinDistance = 35.0
-    p.odometry.imuToCameraMatrix = tuple(SYNTH_IMU_TO_CAMERA.T.flatten())
-    p.odometry.visualR = 0.3  # matched to the front-end's LK noise on renders
-    p.odometry.batchVisualUpdate = True  # parallel visual updates (TPU fast path)
-    # f32-tuned conditioning gate: the stable equilibrated GN solve returns
-    # finite solutions for near-degenerate trails that an LU solve would NaN
-    # out; reject them by conditioning instead (reference default 1e-8 is
-    # tuned for f64)
-    p.odometry.triangulationRcondThreshold = float(
-        os.environ.get("BENCH_RCOND", "1e-5"))
+    lk_levels = os.environ.get("BENCH_LK_LEVELS")
+    lk_iters = os.environ.get("BENCH_LK_ITERS")
+    rcond = os.environ.get("BENCH_RCOND")
+    p = synthetic_bench_params(
+        config,
+        lk_levels=int(lk_levels) if lk_levels else None,
+        lk_iters=int(lk_iters) if lk_iters else None,
+        rcond=float(rcond) if rcond else None)
     seq_kwargs = dict(n_landmarks=500, gyro_noise=5e-4, acc_noise=5e-3, seed=0)
 
     if config == "fisheye":
         # BASELINE config 4 family: KB4 fisheye (TUM-VI-like wide FOV)
-        W, H = 512, 512
+        W = H = 512
         FX = 190.0
-        p.tracker.fisheyeCamera = True
-        p.tracker.validCameraFov = 150.0
-        p.tracker.focalLength = FX
-        p.tracker.principalPointX = W / 2
-        p.tracker.principalPointY = H / 2
-        p.tracker.distortionCoeffs = KB4
-        p.odometry.visualR = 0.4
         seq_kwargs["landmark_radius"] = 5.0
         cam = build_fisheye(FX, FX, W / 2, H / 2, coeffs=KB4,
                             max_valid_fov_deg=150.0, width=W, height=H,
                             dtype=dtype)
-        cams = (cam,)
 
         def render(seq, fi):
             k = seq.frame_sample_idx[fi]
@@ -87,24 +70,17 @@ def build_config(config, jnp):
                 FX, FX, W / 2, H / 2, W, H, KB4, max_fov_deg=150.0,
                 blob_sigma=1.4)
 
-        return p, cams, render, seq_kwargs
+        return p, (cam,), render, seq_kwargs
 
-    # EuRoC-like pinhole (mono = BASELINE config 1, stereo = config 2)
+    # EuRoC-like pinhole (mono = BASELINE config 1, stereo = config 2,
+    # vislam = config 3)
     W, H = 752, 480
     FX = 458.0
-    p.tracker.focalLength = FX
-    p.tracker.principalPointX = W / 2
-    p.tracker.principalPointY = H / 2
     cam = build_pinhole(FX, FX, W / 2, H / 2, width=W, height=H, dtype=dtype)
 
-    if config == "stereo":
-        from hybvio_tpu.io.synthetic import SYNTH_IMU_TO_CAMERA as I2C
-
-        second = np.asarray(I2C).copy()
+    if config in ("stereo", "vislam"):
+        second = np.asarray(SYNTH_IMU_TO_CAMERA).copy()
         second[0, 3] = -STEREO_BASELINE
-        p.tracker.useStereo = True
-        p.odometry.secondImuToCameraMatrix = tuple(second.T.flatten())
-        cams = (cam, cam)
 
         def render(seq, fi):
             k = seq.frame_sample_idx[fi]
@@ -116,7 +92,7 @@ def build_config(config, jnp):
                                 blob_sigma=1.4)
             return left, right
 
-        return p, cams, render, seq_kwargs
+        return p, (cam, cam), render, seq_kwargs
 
     def render(seq, fi):
         k = seq.frame_sample_idx[fi]
@@ -152,7 +128,7 @@ def main():
 
     n_frames = int(os.environ.get("BENCH_FRAMES", "300"))
     mode = os.environ.get("BENCH_MODE", "batched")
-    config = os.environ.get("BENCH_CONFIG", "mono")
+    config = os.environ.get("BENCH_CONFIG", "stereo")
     B = int(os.environ.get("BENCH_BATCH", "16"))
     duration = n_frames / 20.0
     dtype = jnp.float32
@@ -164,6 +140,9 @@ def main():
                             frame_rate=20.0, **seq_kwargs)
 
     F = min(n_frames, len(seq.frame_sample_idx))
+
+    if config == "vislam":
+        return run_vislam(p, seq, render, F, jnp)
 
     def stage(frame):
         if isinstance(frame, tuple):
@@ -333,6 +312,70 @@ def run_batched(p, derived, cams, seq, frames, F, B, dtype, config):
         },
     }
     print(_json.dumps(result))
+
+
+def run_vislam(p, seq, render, F, jnp):
+    """Full VISLAM (-useSlam; BASELINE config 3): the complete VioApi stack —
+    sample sync, jitted stereo VIO step, async SLAM backend (keyframes, BoW
+    loop closure, BA) on its worker thread — measured end to end in wall
+    clock, with the SLAM-corrected output poses scored against ground truth."""
+    import jax
+
+    from hybvio_tpu.api.vio import VioApi
+    from hybvio_tpu.eval.ate import ate_rmse
+
+    W = int(2 * p.tracker.principalPointX)
+    H = int(2 * p.tracker.principalPointY)
+    api = VioApi(p, W, H, dtype=jnp.float32)
+    outputs = []
+    api.on_output = outputs.append
+
+    # pre-render frames (measure the pipeline, not the renderer)
+    frames = [render(seq, fi) for fi in range(F)]
+
+    frame_set = {int(k): fi for fi, k in enumerate(seq.frame_sample_idx[:F])}
+    # warm up compile with the first two frames before timing
+    t0 = None
+    n_fed = 0
+    for k in range(int(seq.frame_sample_idx[F - 1]) + 1):
+        api.add_gyro(seq.times[k], seq.gyro[k])
+        api.add_acc(seq.times[k], seq.acc[k])
+        fi = frame_set.get(k)
+        if fi is not None:
+            fr = frames[fi]
+            if isinstance(fr, tuple):
+                api.add_frame_stereo(seq.times[k], fr[0], fr[1])
+            else:
+                api.add_frame_mono(seq.times[k], fr)
+            n_fed += 1
+            if n_fed == 2 and t0 is None:
+                t0 = time.perf_counter()  # after compile of the first steps
+    api.finish()
+    elapsed = time.perf_counter() - (t0 or time.perf_counter())
+    fps = max(n_fed - 2, 1) / max(elapsed, 1e-9)
+
+    est = np.stack([np.asarray(o.position) for o in outputs])
+    est_t = np.array([o.t for o in outputs])
+    gt = np.stack([np.interp(est_t, seq.times, seq.pos[:, i] - seq.pos[0, i])
+                   for i in range(3)], axis=1)
+    ate = ate_rmse(est, gt) if np.isfinite(est).all() else float("nan")
+    import jax as _jax
+
+    result = {
+        "metric": "synthetic_vislam_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "frames/s (single sequence, -useSlam)",
+        "vs_baseline": round(fps / 200.0, 4),
+        "extra": {
+            "frames": n_fed,
+            "outputs": len(outputs),
+            "ate_rmse_m": None if not np.isfinite(ate) else round(float(ate), 4),
+            "slam_keyframes": len(api.slam.slam.kf_order) if api.slam else 0,
+            "loop_events": len(api.slam.slam.loop_events) if api.slam else 0,
+            "backend": _jax.default_backend(),
+        },
+    }
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

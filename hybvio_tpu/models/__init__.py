@@ -76,3 +76,64 @@ def tumvi_fisheye(width: int = 512, height: int = 512, **overrides):
         g, n = k.split(".")
         p.set_parameter(g, n, v)
     return _finalize(p, width, height)
+
+
+def synthetic_bench_params(config: str = "stereo",
+                           lk_levels: Optional[int] = None,
+                           lk_iters: Optional[int] = None,
+                           rcond: Optional[float] = None) -> Parameters:
+    """The benchmark parameter preset for the synthetic EuRoC-like world
+    (bench.py). Kept here — not in the bench script — so the headline
+    numbers are reproducible from a named preset (the reference does the
+    same via per-dataset parameters.txt files).
+
+    Tuning rationale:
+      * visualR=0.3 (0.4 fisheye): matched to this front-end's LK noise on
+        the synthetic renders.
+      * pyrLKMaxLevel=2 / pyrLKMaxIter=8: with odometry-predicted flow
+        guesses carrying the large-motion load, 3 levels x 8 iters matches
+        the 4-level/20-iter ATE at ~1.8x the throughput.
+      * triangulationRcondThreshold=1e-5: f32-tuned conditioning gate (the
+        reference default 1e-8 assumes f64).
+      * batchVisualUpdate: the TPU fast path (reference supports the same
+        mode, backend.cpp:1005-1010).
+    """
+    from ..io.synthetic import SYNTH_IMU_TO_CAMERA
+
+    p = Parameters()
+    p.odometry.cameraTrailLength = 12
+    p.tracker.maxTracks = 96
+    p.tracker.pyrLKWindowSize = 15
+    p.tracker.pyrLKMaxLevel = 2 if lk_levels is None else lk_levels
+    p.tracker.pyrLKMaxIter = 8 if lk_iters is None else lk_iters
+    p.tracker.gfttMinDistance = 35.0
+    p.odometry.imuToCameraMatrix = tuple(SYNTH_IMU_TO_CAMERA.T.flatten())
+    p.odometry.visualR = 0.3
+    p.odometry.batchVisualUpdate = True
+    p.odometry.triangulationRcondThreshold = 1e-5 if rcond is None else rcond
+
+    if config == "fisheye":
+        W = H = 512
+        p.tracker.fisheyeCamera = True
+        p.tracker.validCameraFov = 150.0
+        p.tracker.focalLength = 190.0
+        p.tracker.principalPointX = W / 2
+        p.tracker.principalPointY = H / 2
+        p.tracker.distortionCoeffs = (0.0035, 0.0007, -0.002, 0.0002)
+        p.odometry.visualR = 0.4
+        return p
+
+    W, H = 752, 480
+    p.tracker.focalLength = 458.0
+    p.tracker.principalPointX = W / 2
+    p.tracker.principalPointY = H / 2
+    if config in ("stereo", "vislam"):
+        second = np.asarray(SYNTH_IMU_TO_CAMERA).copy()
+        second[0, 3] = -0.11  # EuRoC-like baseline
+        p.tracker.useStereo = True
+        p.odometry.secondImuToCameraMatrix = tuple(second.T.flatten())
+    if config == "vislam":
+        p.slam.useSlam = True
+        p.slam.applyLoopClosures = True
+        p.slam.keyframeCandidateInterval = 4
+    return p
