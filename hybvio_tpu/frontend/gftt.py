@@ -57,9 +57,11 @@ def corner_response(img: jnp.ndarray, block_size: int = 3) -> jnp.ndarray:
         if PALLAS_AVAILABLE:
             return corner_response_pallas(img, block_size)
     ix, iy = sobel_gradients(img)
-    # normalize Sobel like the reference shaders (1/4 per axis with unit pixel)
-    ix = ix * 0.25
-    iy = iy * 0.25
+    # UNNORMALIZED Sobel like the reference shaders (kernel weights +-1, +-2
+    # with no 1/4 scaling, feature_detector.cpp:47-65): gfttMinResponse's
+    # default (0.001) is calibrated to these units; a 1/4-per-axis
+    # normalization makes every response 16x smaller and starves detection
+    # on textured imagery.
     n = block_size * block_size
     sxx = box_filter(ix * ix, block_size) / n
     syy = box_filter(iy * iy, block_size) / n

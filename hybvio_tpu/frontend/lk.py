@@ -25,6 +25,14 @@ FLOW_OK = 0
 FLOW_FAILED = 1
 FLOW_OUT_OF_RANGE = 2
 
+# Conversion of our min-eigenvalue units to cv::calcOpticalFlowPyrLK's, so
+# pyrLKMinEigThreshold keeps the reference's parameter scale (reference
+# default 1e-4 assumes OpenCV semantics): OpenCV computes the structure
+# matrix from UNNORMALIZED int Scharr derivatives of 8-bit images and scales
+# products by FLT_SCALE = 2^-20; our derivatives are (1/32)-normalized Scharr
+# of [0,1] floats, i.e. smaller by 32*255 each.
+MIN_EIG_CV_SCALE = (32.0 * 255.0) ** 2 / float(1 << 20)
+
 
 class LKParams(NamedTuple):
     window_size: int = 31
@@ -128,12 +136,17 @@ def _window_shift_sample(patches, corner, q, w: int, ps: int):
 
 
 def lk_track_level(
-    prev_img, prev_ix, prev_iy, cur_img, prev_pts, guesses, params: LKParams
+    prev_img, prev_ix, prev_iy, cur_img, prev_pts, guesses, params: LKParams,
+    final_level: bool = True,
 ):
     """One pyramid level of LK for all features.
 
     prev_pts, guesses: (N, 2) at THIS level's scale. Returns (new_pts (N,2),
     ok (N,), min_eig (N,)).
+
+    final_level: at upper pyramid levels, points whose window leaves the
+    (smaller) image are SKIPPED — their guess passes through unchanged — not
+    failed; cv::calcOpticalFlowPyrLK only sets status at level 0 the same way.
 
     TPU-shaped implementation: the template window + gradients come from one
     contiguous patch slice per feature; the iterations bilinearly sample a
@@ -179,10 +192,17 @@ def lk_track_level(
         q, done, it = carry
         return (it < params.max_iter) & ~jnp.all(done)
 
+    # zero-mean template: the iteration minimizes an illumination-robust
+    # residual (window means removed on both sides), so per-frame exposure
+    # gain/bias does not bias every step in the gradient direction and walk
+    # the window off the feature. cv::calcOpticalFlowPyrLK lacks this and
+    # measurably sheds tracks under exposure change; deliberate improvement.
+    t_zm = t - jnp.mean(t, axis=1, keepdims=True)
+
     def body(carry):
         q, done, it = carry
         wv = _window_shift_sample(cp, cc, q, w, ps_c).reshape(N, -1)
-        di = wv - t
+        di = (wv - jnp.mean(wv, axis=1, keepdims=True)) - t_zm
         bx = jnp.sum(di * ix, axis=1)
         by = jnp.sum(di * iy, axis=1)
         dx = (gyy * bx - gxy * by) / safe_det
@@ -192,11 +212,24 @@ def lk_track_level(
         q_new = jnp.where(done[:, None], q, q - delta)
         return (q_new, done | converged, it + 1)
 
+    # points whose TEMPLATE window leaves this level's image can't iterate
+    # meaningfully (clamped patches): skip them (guess passes through)
+    templ_ok = (
+        (prev_pts[:, 0] >= r) & (prev_pts[:, 0] < W - r)
+        & (prev_pts[:, 1] >= r) & (prev_pts[:, 1] < H - r)
+    )
+
     # while_loop with an all-converged early exit: with odometry-predicted
     # guesses most features converge in a few iterations, so the average trip
     # count is far below pyrLKMaxIter (matching OpenCV's epsilon exit)
     q, _, _ = jax.lax.while_loop(
-        cond, body, (guesses, ~ok_g, jnp.zeros((), jnp.int32)))
+        cond, body, (guesses, ~ok_g | ~templ_ok, jnp.zeros((), jnp.int32)))
+    q = jnp.where(templ_ok[:, None], q, guesses)
+
+    if not final_level:
+        # upper level: contribute flow where trackable, never fail a track
+        # (cv::calcOpticalFlowPyrLK only sets status at level 0)
+        return q, jnp.ones(N, bool), min_eig
 
     # fail if the track left its sampling patch (would have clamped)
     local = q - cc.astype(dtype)
@@ -204,8 +237,6 @@ def lk_track_level(
                 & (local[:, 1] >= r + 1) & (local[:, 1] < ps_c - r - 2))
     in_bounds = (
         (q[:, 0] >= r) & (q[:, 0] < W - r) & (q[:, 1] >= r) & (q[:, 1] < H - r)
-        & (prev_pts[:, 0] >= r) & (prev_pts[:, 0] < W - r)
-        & (prev_pts[:, 1] >= r) & (prev_pts[:, 1] < H - r)
     )
     # appearance residual at the converged position: protects against the LK
     # failure mode where a feature drifts onto low-texture background and
@@ -213,10 +244,15 @@ def lk_track_level(
     # check; the reference relies on downstream RANSAC, but a frozen *set* of
     # points forms a false consensus there)
     w_final = _window_shift_sample(cp, cc, q, w, ps_c).reshape(N, -1)
-    resid = jnp.mean(jnp.abs(w_final - t), axis=1)
+    # zero-mean comparison: per-frame exposure gain/bias must not fail
+    # legitimate tracks (brightness constancy is already violated by real
+    # cameras; only the structural mismatch matters here)
+    d_final = (w_final - jnp.mean(w_final, axis=1, keepdims=True)
+               - (t - jnp.mean(t, axis=1, keepdims=True)))
+    resid = jnp.mean(jnp.abs(d_final), axis=1)
     contrast = jnp.maximum(jnp.max(t, axis=1) - jnp.min(t, axis=1), 1e-6)
     ok_resid = resid <= jnp.maximum(0.25 * contrast, 0.02)
-    return q, ok_g & in_bounds & in_patch & ok_resid, min_eig
+    return q, ok_g & templ_ok & in_bounds & in_patch & ok_resid, min_eig
 
 
 def lk_track_pyramid(
@@ -248,15 +284,16 @@ def lk_track_pyramid(
         p_lvl = prev_pts / scale
         new_pts, ok, min_eig = lk_track_level(
             prev_pyr[lvl], prev_grads[lvl][0], prev_grads[lvl][1],
-            cur_pyr[lvl], p_lvl, g, params)
+            cur_pyr[lvl], p_lvl, g, params, final_level=(lvl == 0))
         ok_all = ok_all & ok
         if lvl > 0:
             g = new_pts * 2.0
         else:
             g = new_pts
 
-    # final eigenvalue check at level 0 (OpenCV normalizes by window area)
-    ok_all = ok_all & (min_eig >= params.min_eig_threshold)
+    # final eigenvalue check at level 0, in OpenCV's units so the
+    # pyrLKMinEigThreshold parameter scale matches the reference
+    ok_all = ok_all & (min_eig * MIN_EIG_CV_SCALE >= params.min_eig_threshold)
     H, W = cur_pyr[0].shape
     x, y = g[:, 0], g[:, 1]
     in_range = (x >= 0) & (x < W) & (y >= 0) & (y < H)

@@ -77,8 +77,9 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
         max_level=_max_level,
         max_iter=pt.pyrLKMaxIter,
         epsilon=pt.pyrLKEpsilon,
-        # reference threshold assumes 0..255 images; ours are 0..1
-        min_eig_threshold=pt.pyrLKMinEigThreshold / 255.0**2,
+        # lk_track_pyramid converts min-eig to cv units (MIN_EIG_CV_SCALE),
+        # so the reference's parameter scale passes through unchanged
+        min_eig_threshold=pt.pyrLKMinEigThreshold,
     )
     ransac2_threshold = pt.ransac2Threshold * su
     # R5 threshold in normalized coordinates (reference: ransac_pipeline.cpp:329)

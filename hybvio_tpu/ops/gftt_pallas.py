@@ -52,11 +52,12 @@ def _response_tile(img_ref, out_ref, *, block_size: int, halo: int, th: int):
     i = pl.program_id(0)
     x = img_ref[pl.ds(i * th, th + 2 * halo), :]
 
-    # Sobel, normalized like the reference shaders (1/4 per axis)
+    # UNNORMALIZED Sobel like the reference shaders (weights +-1, +-2, no
+    # 1/4 scaling, feature_detector.cpp:47-65) — gfttMinResponse units
     dx = _shift_x(x, 1) - _shift_x(x, -1)
-    ix = (_shift_y(dx, 1) + 2.0 * dx + _shift_y(dx, -1)) * 0.25
+    ix = _shift_y(dx, 1) + 2.0 * dx + _shift_y(dx, -1)
     dy = _shift_y(x, 1) - _shift_y(x, -1)
-    iy = (_shift_x(dy, 1) + 2.0 * dy + _shift_x(dy, -1)) * 0.25
+    iy = _shift_x(dy, 1) + 2.0 * dy + _shift_x(dy, -1)
 
     # structure matrix + normalized box filter (block_size taps per axis)
     def box(a):

@@ -96,7 +96,7 @@ def test_lk_recovers_translation():
     dx, dy = 3.3, -2.6
     cur_np = shift_image(img_np, dx, dy)
     params = LKParams(window_size=15, max_level=2, max_iter=20,
-                      min_eig_threshold=1e-3 / 255**2)  # [0,1]-scaled images
+                      min_eig_threshold=1e-3)  # cv-unit threshold (MIN_EIG_CV_SCALE)
     prev_pyr, prev_grads = precompute_prev(jnp.asarray(img_np), params)
     cur_pyr = build_pyramid(jnp.asarray(cur_np), params.max_level)
     p0 = jnp.asarray(pts[(pts[:, 0] > 25) & (pts[:, 0] < 175) & (pts[:, 1] > 25) & (pts[:, 1] < 135)])
@@ -113,7 +113,7 @@ def test_lk_initial_guess():
     dx, dy = 9.0, 7.0  # large flow: needs the guess with a small window
     cur_np = shift_image(img_np, dx, dy)
     params = LKParams(window_size=9, max_level=0, max_iter=20,
-                      min_eig_threshold=1e-3 / 255**2)
+                      min_eig_threshold=1e-3)
     prev_pyr, prev_grads = precompute_prev(jnp.asarray(img_np), params)
     cur_pyr = build_pyramid(jnp.asarray(cur_np), params.max_level)
     sel = (pts[:, 0] > 30) & (pts[:, 0] < 160) & (pts[:, 1] > 30) & (pts[:, 1] < 130)
