@@ -152,6 +152,19 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
     predict = make_predict(po, dtype)
     prepare = make_prepare_track_update(
         po, derived.imu_to_camera, derived.second_imu_to_camera, use_stereo, d, dtype)
+    # per-keyframe stereo pre-triangulation + information-weighted fusion
+    # (reference: useIndependentStereoTriangulation, backend.cpp:927-942 and
+    # triangulation.cpp:409-608; storage parity: ekf_state_index.hpp:26-78)
+    use_indep_stereo = use_stereo and bool(po.useIndependentStereoTriangulation)
+
+    def stereo_args(trail_state, slot):
+        """Per-track stereo idp/cov/valid rows for prepare()."""
+        if not use_indep_stereo:
+            return {}
+        return dict(
+            stereo_idp=trail_state.kf_stereo_idp[:, slot],
+            stereo_cov=trail_state.kf_stereo_cov[:, slot],
+            stereo_valid=trail_state.kf_stereo_valid[:, slot])
 
     def init_fn(rng_key=None) -> BackendState:
         return BackendState(
@@ -312,13 +325,16 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
                     m, (jnp.clip(mp_off, 0, d - 3),), (3,))
                 out = prepare(ps, trail_index, ips, vels, sel,
                               map_point=jnp.where(mp, mp_val, jnp.zeros(3, dtype)),
-                              map_point_offset=jnp.where(mp, mp_off, d))
-                out_tri = prepare(ps, trail_index, ips, vels, sel)
+                              map_point_offset=jnp.where(mp, mp_off, d),
+                              **stereo_args(trail_state, slot))
+                out_tri = prepare(ps, trail_index, ips, vels, sel,
+                                  **stereo_args(trail_state, slot))
                 # choose between hybrid and triangulated forms
                 out = jax.tree_util.tree_map(
                     lambda a, b: jnp.where(mp, a, b), out, out_tri)
             else:
-                out = prepare(ps, trail_index, ips, vels, sel)
+                out = prepare(ps, trail_index, ips, vels, sel,
+                              **stereo_args(trail_state, slot))
 
             tri_ok = (out.tri_status == TRI_OK) | mp
             prep_ok = out.prepare_status == 0
@@ -496,11 +512,14 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
                     ekf.m, (jnp.clip(mp_off, 0, d - 3),), (3,))
                 out_mp = prepare(ps, trail_index, ips, vels, sel,
                                  map_point=jnp.where(mp, mp_val, jnp.zeros(3, dtype)),
-                                 map_point_offset=jnp.where(mp, mp_off, d))
-                out_tri = prepare(ps, trail_index, ips, vels, sel)
+                                 map_point_offset=jnp.where(mp, mp_off, d),
+                                 **stereo_args(trail_state, slot))
+                out_tri = prepare(ps, trail_index, ips, vels, sel,
+                                  **stereo_args(trail_state, slot))
                 return jax.tree_util.tree_map(
                     lambda a, b: jnp.where(mp, a, b), out_mp, out_tri)
-            return prepare(ps, trail_index, ips, vels, sel)
+            return prepare(ps, trail_index, ips, vels, sel,
+                           **stereo_args(trail_state, slot))
 
         outs = jax.vmap(prep_one)(order)  # leading axis NV
         active = eligible[order]
@@ -684,10 +703,38 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
                 ok = ok0
             valid = (tracker_in.track_ids >= 0) & ok
 
+            stereo_kwargs = {}
+            if use_indep_stereo:
+                # pre-triangulate each track's stereo pair in the head
+                # keyframe's own camera (reference: backend.cpp:927-942 via
+                # triangulateStereoFeatureIdp); dense depth, when available,
+                # replaces the range but keeps the triangulation sensitivity
+                # covariance (backend.cpp:936-941)
+                from .triangulation import inverse_depth, triangulate_stereo_idp
+
+                s2f = jnp.asarray(
+                    np.asarray(derived.imu_to_camera)
+                    @ np.linalg.inv(np.asarray(derived.second_imu_to_camera)),
+                    dtype)
+                sidp, scov, sok = jax.vmap(
+                    lambda a, b: triangulate_stereo_idp(a, b, s2f))(
+                        norm0.astype(dtype), norm1.astype(dtype))
+                dd = tracker_in.stereo_depth.astype(dtype)
+                pf3 = inverse_depth(sidp)
+                nrm = jnp.linalg.norm(pf3, axis=-1, keepdims=True)
+                pf3_d = pf3 / jnp.maximum(nrm, 1e-12) * dd[:, None]
+                sidp_dd = inverse_depth(pf3_d)
+                use_dd = (dd > 0) & sok & jnp.all(jnp.isfinite(sidp_dd), axis=-1)
+                sidp = jnp.where(use_dd[:, None], sidp_dd, sidp)
+                stereo_kwargs = dict(
+                    stereo_idp=sidp, stereo_cov=scov,
+                    stereo_valid=sok & valid & jnp.all(jnp.isfinite(sidp), axis=-1))
+
             trail_state = tr.insert_head_features(
                 state.trail, tracker_in.track_ids, norm,
                 tracker_in.pixels[:, 0, :], valid, timestamp=t_frame,
-                estimate_velocities=bool(po.estimateImuCameraTimeShift))
+                estimate_velocities=bool(po.estimateImuCameraTimeShift),
+                **stereo_kwargs)
             trail_state = trail_state._replace(
                 kf_frame_num=trail_state.kf_frame_num.at[0].set(frame_number))
             trail_state = tr.prune(trail_state, jnp.where(valid, tracker_in.track_ids, -1))

@@ -261,6 +261,64 @@ def triangulate_linear(poses: CameraPoses, ips: jnp.ndarray, mask: jnp.ndarray):
     return TriangulationResult(pf=pf, status=status, rcond=jnp.ones((), dtype=dtype))
 
 
+def triangulate_stereo_fused(poses: CameraPoses, stereo_idp, stereo_cov,
+                             stereo_valid):
+    """Information-weighted fusion of per-pose PRE-triangulated stereo
+    features (reference: Triangulator::triangulateStereo,
+    triangulation.cpp:409-608; selected by
+    odometry.useIndependentStereoTriangulation, triangulation.cpp:137-138).
+
+    Each trail pose i carries a stereo-triangulated feature in inverse-depth
+    coordinates of its own left camera (stereo_idp[i]) plus a 3x3 sensitivity
+    covariance (stereo_cov[i], from triangulate_stereo_idp). All are mapped
+    into the anchor (head, row 0) camera's idp coordinates and averaged with
+    information weights info_i = (J_i cov_i J_i^T)^-1. The whole function is
+    differentiable, so prepareVisualUpdate obtains the reference's
+    hand-derived dpf/dpose chain by autodiff instead.
+
+    poses: left-camera CameraPoses with N rows (world->cam R, cam origin p).
+    Returns TriangulationResult (rcond reports the weight-matrix conditioning).
+    """
+    dtype = stereo_idp.dtype
+    p0, R0 = poses.p[0], poses.R[0]
+    eye3 = jnp.eye(3, dtype=dtype)
+
+    def per_pose(p_i, R_i, idp_i, cov_i, v_i):
+        f3 = inverse_depth(idp_i)  # own inverse: idp -> cam-i 3D point
+        df3 = jax.jacfwd(inverse_depth)(idp_i)
+        pos_w = R_i.T @ f3 + p_i
+        pos0 = R0 @ (pos_w - p0)
+        ipos = inverse_depth(pos0)
+        dipos = jax.jacfwd(inverse_depth)(pos0)
+        J = dipos @ R0 @ R_i.T @ df3
+        cov = J @ cov_i @ J.T
+        # reference skips cov.norm() < 1e-10 (MIN_NORM_TO_INVERT); the ridge
+        # additionally keeps f32 inversions of anisotropic covs finite
+        usable = v_i & (jnp.linalg.norm(cov) >= 1e-10) & jnp.all(jnp.isfinite(cov))
+        ridge = (1e-9 * jnp.trace(cov) + jnp.asarray(jnp.finfo(dtype).tiny, dtype))
+        info = jnp.linalg.inv(cov + ridge * eye3)
+        w = usable.astype(dtype)
+        info = jnp.where(jnp.all(jnp.isfinite(info)), info, jnp.zeros_like(info)) * w
+        return info @ ipos, info
+
+    ws, infos = jax.vmap(per_pose)(poses.p, poses.R, stereo_idp, stereo_cov,
+                                   stereo_valid)
+    wsum = jnp.sum(ws, axis=0)
+    SW = jnp.sum(infos, axis=0)
+    ok_cond = jnp.linalg.norm(SW) >= 1e-10
+    SW_safe = SW + jnp.where(ok_cond, 0.0, 1.0) * eye3
+    pfi = _solve3_spd_equil(SW_safe, wsum, dtype)
+    pf0 = inverse_depth(pfi)
+    pf = R0.T @ pf0 + p0
+    finite = jnp.all(jnp.isfinite(pf))
+    status = jnp.where(ok_cond & finite, TRI_OK, TRI_BAD_COND).astype(jnp.int32)
+    # rcond proxy: diagonal anisotropy of the weight matrix
+    diag = jnp.diagonal(SW)
+    rc = jnp.min(diag) / jnp.maximum(jnp.max(diag), jnp.asarray(jnp.finfo(dtype).tiny, dtype))
+    return TriangulationResult(
+        pf=jnp.where(finite, pf, jnp.zeros(3, dtype)), status=status, rcond=rc)
+
+
 def triangulate_stereo_idp(ip_first, ip_second, second_to_first_camera, with_cov=True):
     """(w)Mid2 two-ray closed-form triangulation (BMVC2019) in inverse-depth
     coordinates + 3x3 sensitivity covariance (reference:

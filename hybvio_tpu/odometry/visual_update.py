@@ -25,8 +25,8 @@ import jax.numpy as jnp
 
 from ..ekf.state import CAM, ORI, POS, POSE_DIM, SFT
 from .triangulation import (
-    TRI_HYBRID, TRI_OK, CameraPoses, camera_poses_from_states, triangulate_gn,
-    triangulate_linear,
+    TRI_BAD_COND, TRI_HYBRID, TRI_OK, CameraPoses, camera_poses_from_states,
+    triangulate_gn, triangulate_linear, triangulate_stereo_fused,
 )
 
 PREPARE_VU_OK = 0
@@ -85,6 +85,10 @@ def make_prepare_track_update(po, imu_to_camera, second_imu_to_camera, use_stere
     i2c2 = jnp.asarray(second_imu_to_camera, dtype=dtype)
     est_sft = bool(po.estimateImuCameraTimeShift)
     n_cams = 2 if use_stereo else 1
+    # information-weighted fusion of per-pose pre-triangulated stereo
+    # features instead of GN (reference: useIndependentStereoTriangulation
+    # -> triangulateStereo, triangulation.cpp:137-138,409-608)
+    use_indep_stereo = use_stereo and bool(po.useIndependentStereoTriangulation)
 
     def trail_from_states(pose_states):
         trail0 = camera_poses_from_states(pose_states, i2c)
@@ -119,13 +123,20 @@ def make_prepare_track_update(po, imu_to_camera, second_imu_to_camera, use_stere
             stereo=use_stereo,
         )
 
-    def prepare(pose_states, trail_index, ips, vels, mask, map_point=None, map_point_offset=None):
+    def prepare(pose_states, trail_index, ips, vels, mask, map_point=None,
+                map_point_offset=None, stereo_idp=None, stereo_cov=None,
+                stereo_valid=None):
         N = pose_states.shape[0]
         rows = 2 * n_cams * N
         full_mask = jnp.tile(mask, n_cams)
         row_mask = jnp.repeat(full_mask, 2)
 
         hybrid = map_point_offset is not None
+        indep_stereo = use_indep_stereo and stereo_idp is not None
+
+        def tri_fused(ps, sidp, smask):
+            left = camera_poses_from_states(ps, i2c)
+            return triangulate_stereo_fused(left, sidp, stereo_cov, smask)
 
         def h_fn(x, pf_in):
             ps = x[: N * 7].reshape(N, 7)
@@ -134,6 +145,15 @@ def make_prepare_track_update(po, imu_to_camera, second_imu_to_camera, use_stere
             trail = trail_from_states(ps)
             if hybrid:
                 pf = pf_in + x[N * 7 + 1 : N * 7 + 4]  # map point columns
+            elif indep_stereo:
+                # the time-shift moves the stereo idp along the LEFT-camera
+                # feature velocity (reference: triangulation.cpp:513-545)
+                sidp = stereo_idp
+                if est_sft:
+                    vel3 = jnp.concatenate(
+                        [vels[:N], jnp.zeros((N, 1), dtype=dtype)], axis=1)
+                    sidp = stereo_idp + sft_delta * vel3
+                pf = tri_fused(ps, sidp, stereo_valid & mask).pf
             else:
                 tri = triangulate(ps, feats, mask)
                 pf = tri.pf
@@ -155,7 +175,14 @@ def make_prepare_track_update(po, imu_to_camera, second_imu_to_camera, use_stere
             tri_status = jnp.asarray(TRI_HYBRID, dtype=jnp.int32)
             pf = pf_in
         else:
-            tri = triangulate(pose_states, ips, mask)
+            if indep_stereo:
+                tri = tri_fused(pose_states, stereo_idp, stereo_valid & mask)
+                # need at least one usable pre-triangulated stereo feature
+                enough = jnp.sum(stereo_valid & mask) >= 1
+                tri = tri._replace(status=jnp.where(
+                    enough, tri.status, TRI_BAD_COND).astype(jnp.int32))
+            else:
+                tri = triangulate(pose_states, ips, mask)
             pf = tri.pf
             depth = jnp.linalg.norm(pf - trail_from_states(pose_states).p[0])
             # the reference default maxDist is 1e300; map anything beyond the
