@@ -276,6 +276,23 @@ def run(argv=None) -> int:
     last_img = [None]
     est_positions = []
 
+    def save_vis(name, frame):
+        """Write a viewable PNG when an encoder is available (cv2 baked in);
+        raw .npy otherwise (round-1 only wrote .npy, which nothing displays)."""
+        a = np.asarray(frame)
+        path = os.path.join(vis_dir, name)
+        try:
+            import cv2
+
+            img8 = a
+            if img8.dtype != np.uint8:
+                img8 = (np.clip(img8, 0.0, 1.0) * 255).astype(np.uint8)
+            if img8.ndim == 3 and img8.shape[-1] == 3:
+                img8 = img8[..., ::-1]  # RGB -> BGR
+            cv2.imwrite(path + ".png", img8)
+        except Exception:
+            np.save(path + ".npy", a)
+
     def write_visualizations(out):
         if not (display_on and vis_dir) or (n_out[0] - 1) % vis_every:
             return
@@ -301,7 +318,7 @@ def run(argv=None) -> int:
                     api.cameras[0], jnp.asarray(rays))[0])
                 valid = np.asarray(fo.track_ids) >= 0
                 frame = vz.render_video_overlay(np.asarray(img), px, valid)
-            np.save(os.path.join(vis_dir, f"video_{k:06d}.npy"), frame)
+            save_vis(f"video_{k:06d}", frame)
         if "displayPose" in display_on:
             est_positions.append([out.position[0], out.position[1],
                                   out.position[2]])
@@ -309,16 +326,13 @@ def run(argv=None) -> int:
             for name, rows in api.pose_histories.items():
                 if rows:
                     hist[name] = np.asarray(rows, np.float64)[:, 1:4]
-            np.save(os.path.join(vis_dir, f"pose_{k:06d}.npy"),
-                    vz.render_pose_plot(hist))
+            save_vis(f"pose_{k:06d}", vz.render_pose_plot(hist))
         if "displayCovarianceMagnitude" in display_on and api._state is not None:
             P = np.asarray(api._state.backend.ekf.P)
-            np.save(os.path.join(vis_dir, f"cov_{k:06d}.npy"),
-                    vz.render_covariance_magnitudes(P))
+            save_vis(f"cov_{k:06d}", vz.render_covariance_magnitudes(P))
         if "displayCorrelation" in display_on and api._state is not None:
             P = np.asarray(api._state.backend.ekf.P)
-            np.save(os.path.join(vis_dir, f"corr_{k:06d}.npy"),
-                    vz.render_correlation(P))
+            save_vis(f"corr_{k:06d}", vz.render_correlation(P))
 
     def on_output(out):
         n_out[0] += 1

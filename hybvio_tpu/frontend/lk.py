@@ -137,7 +137,7 @@ def _window_shift_sample(patches, corner, q, w: int, ps: int):
 
 def lk_track_level(
     prev_img, prev_ix, prev_iy, cur_img, prev_pts, guesses, params: LKParams,
-    final_level: bool = True,
+    final_level: bool = True, margin: int = 8,
 ):
     """One pyramid level of LK for all features.
 
@@ -160,6 +160,8 @@ def lk_track_level(
     w = params.window_size
     r = w // 2
     N = prev_pts.shape[0]
+    # the (w + 2*margin + 3) search patch must fit this level's image
+    margin = max(min(margin, (min(H, W) - w - 3) // 2), 1)
 
     # template patches (window + 1px bilinear margin)
     ps_t = w + 3
@@ -182,9 +184,9 @@ def lk_track_level(
     safe_det = jnp.where(ok_g, det_g, 1.0)
 
     # current-image patches around the guess, with room for the iterations to
-    # move (motion beyond the margin re-centers never happens within a level:
-    # the pyramid handles large motion; margin matches OpenCV-ish behavior)
-    margin = 8
+    # move (motion beyond the margin re-centers never happens within a level;
+    # the pyramid handles large motion, and the caller passes a LARGER margin
+    # at the top level, which is where unpredicted large flows land)
     ps_c = w + 2 * margin + 3
     cp, cc = _gather_patches(cur_img, guesses, ps_c)
 
@@ -284,7 +286,10 @@ def lk_track_pyramid(
         p_lvl = prev_pts / scale
         new_pts, ok, min_eig = lk_track_level(
             prev_pyr[lvl], prev_grads[lvl][0], prev_grads[lvl][1],
-            cur_pyr[lvl], p_lvl, g, params, final_level=(lvl == 0))
+            cur_pyr[lvl], p_lvl, g, params, final_level=(lvl == 0),
+            # top level absorbs the unpredicted motion: double budget there
+            # (its image is 4^L smaller, so the patch cost is negligible)
+            margin=16 if lvl == L and L > 0 else 8)
         ok_all = ok_all & ok
         if lvl > 0:
             g = new_pts * 2.0

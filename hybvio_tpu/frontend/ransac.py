@@ -206,17 +206,20 @@ def ransac5(
     """Essential-matrix RANSAC over normalized image coordinates.
 
     Port of the reference RANSAC5 (reference: ransac_pipeline.cpp:277-396,
-    which wraps a vendored OpenCV Nister 5-point solver with an iteration cap
-    "alleviating worst-case performance"). The TPU redesign uses the 8-point
-    minimal solver per hypothesis (an 8x9 SVD vmaps cleanly; the Nister
-    10th-degree polynomial does not) and compensates with a larger vmapped
-    hypothesis count -- wall-clock stays flat on the MXU because all
-    hypotheses run in parallel. Inliers are classified by Sampson distance,
-    like cv::findEssentialMat. Only the inlier set is consumed downstream
-    (the reference zeroes R/t too, ransac_pipeline.cpp:381-387).
+    wrapping a vendored OpenCV Nister 5-point solver with an iteration cap
+    "alleviating worst-case performance", five_point.cpp:404,
+    ptsetreg.hpp:43-44). Hypotheses use the TRUE Nister/Stewenius 5-point
+    minimal solver (frontend/five_point.py) — correct for planar scenes and
+    minimal samples, unlike an 8-point stand-in — with ALL hypotheses (and
+    their up-to-10 solutions each) solved and Sampson-scored as one vmapped
+    batch. Only the inlier set is consumed downstream (the reference zeroes
+    R/t too, ransac_pipeline.cpp:381-387).
 
     threshold: in normalized units (reference: 2*ransac5Threshold/(f1+f2)).
+    max_iters: hypothesis count (reference: tracker.ransacMaxIters).
     """
+    from .five_point import five_point_essential
+
     dtype = norm1.dtype
     T = norm1.shape[0]
     n_tracked = jnp.sum(valid)
@@ -225,30 +228,17 @@ def ransac5(
 
     order = jnp.argsort(~valid, stable=True)  # valid slots first
     key1, _ = jax.random.split(rng_key)
-    idx = jax.random.randint(key1, (max_iters, 8), 0, jnp.maximum(n_tracked, 1))
-    slots = order[idx]  # (K, 8)
+    idx = jax.random.randint(key1, (max_iters, 5), 0, jnp.maximum(n_tracked, 1))
+    slots = order[idx]  # (K, 5)
 
-    # rows of the epipolar constraint x2^T E x1 = 0
-    a1 = h1[slots]  # (K,8,3)
-    a2 = h2[slots]
-    A = jnp.einsum("kni,knj->knij", a2, a1).reshape(max_iters, 8, 9)
+    def solve_hyp(sl):
+        Es, val = five_point_essential(norm1[sl], norm2[sl], dtype=dtype)
+        distinct = jnp.sum(sl[:, None] == sl[None, :]) == 5
+        return Es, val & distinct
 
-    # smallest right singular vector of each 8x9 system == smallest
-    # eigenvector of A^T A. Computed by POWER ITERATION on (tr I - A^T A)
-    # (PSD, largest eigenvector == wanted nullspace direction): K batched
-    # 9x9 matvecs per sweep — pure MXU work, no per-matrix eigh/SVD.
-    AtA = jnp.einsum("kni,knj->kij", A.reshape(max_iters, 8, 9),
-                     A.reshape(max_iters, 8, 9))
-    tr = jnp.trace(AtA, axis1=1, axis2=2)
-    Bm = tr[:, None, None] * jnp.eye(9, dtype=dtype)[None] - AtA
-
-    def pow_body(_, v):
-        v = jnp.einsum("kij,kj->ki", Bm, v)
-        return v / jnp.maximum(jnp.linalg.norm(v, axis=1, keepdims=True), 1e-30)
-
-    v0 = jnp.ones((max_iters, 9), dtype) / 3.0
-    v = jax.lax.fori_loop(0, 30, pow_body, v0)
-    Es = v.reshape(max_iters, 3, 3)
+    Es_all, val_all = jax.vmap(solve_hyp)(slots)  # (K,10,3,3), (K,10)
+    Es_flat = Es_all.reshape(-1, 3, 3)
+    val_flat = val_all.reshape(-1)
 
     thr2 = threshold * threshold
 
@@ -260,20 +250,14 @@ def ransac5(
         d2 = num * num / jnp.maximum(den, 1e-18)
         return valid & (d2 < thr2)
 
-    inl_all = jax.vmap(sampson_inliers)(Es)  # (K,T)
-    counts = jnp.sum(inl_all, axis=1)
-    # discard degenerate samples with repeated indices
-    def distinct_ok(sl):
-        eq = sl[:, None] == sl[None, :]
-        return jnp.sum(eq) == 8
-    okh = jax.vmap(distinct_ok)(slots)
-    counts = jnp.where(okh, counts, -1)
+    inl_all = jax.vmap(sampson_inliers)(Es_flat)  # (K*10, T)
+    counts = jnp.where(val_flat, jnp.sum(inl_all, axis=1), -1)
     best = jnp.argmax(counts)
     # project the winner onto the essential manifold and re-score
-    U, _, Vt2 = jnp.linalg.svd(Es[best])
+    U, _, Vt2 = jnp.linalg.svd(Es_flat[best])
     E_best = U @ jnp.diag(jnp.asarray([1.0, 1.0, 0.0], dtype)) @ Vt2
     inl = sampson_inliers(E_best)
-    ok = n_tracked >= 8
+    ok = n_tracked >= 5
     inl = inl & ok
     return Ransac5Result(E=E_best, inliers=inl,
                          inlier_count=jnp.sum(inl).astype(jnp.int32), ok=ok)

@@ -120,7 +120,10 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
                 min_distance=min_distance,
                 block_size=pt.gfttBlockSize,
                 min_response=pt.gfttMinResponse,
-                n_candidates=128,  # top-128 spaced block maxima suffice
+                # enough spaced block-maxima candidates to fill every slot
+                # even with the min-distance mask rejecting most (a hard 128
+                # could never fill tracker.maxTracks > 128 slots)
+                n_candidates=max(2 * T, 128),
                 crop_fraction=pt.partOfImageToDetectFeatures,
             )
         if pt.subPixMaxIter > 0:

@@ -564,8 +564,10 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             mp_slot_of = free_slots[jnp.clip(promo_rank, 0, M - 1)]  # (NV,)
         accepted_stack = accepted & ~can_promote
 
-        # stack the first A_cap accepted tracks into one update
-        A_cap = po.maxSuccessfulVisualUpdates if po.maxSuccessfulVisualUpdates > 0 else min(NV, 8)
+        # stack the first A_cap accepted tracks into one update; with
+        # maxSuccessfulVisualUpdates <= 0 the contract is "unlimited", so cap
+        # only at the candidate width (round-1 silently capped at 8)
+        A_cap = po.maxSuccessfulVisualUpdates if po.maxSuccessfulVisualUpdates > 0 else NV
         acc_idx = jnp.argsort(~accepted_stack, stable=True)[:A_cap]
         acc_ok = accepted_stack[acc_idx]
         rows = outs.H.shape[1]

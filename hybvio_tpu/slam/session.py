@@ -210,6 +210,16 @@ class Slam:
                 self._local_ba(window=self.kf_order[start:start + NK])
                 if start + NK >= n:
                     break
+        # persist the trained vocabulary for reuse across sessions
+        # (reference: vocabularyPath points at a prebuilt DBoW2 vocabulary;
+        # ours trains online and can save the codebook back)
+        ps = self.ps
+        if (ps.vocabularyPath and str(ps.vocabularyPath).endswith(".npy")
+                and self.vocabulary.trained):
+            try:
+                self.vocabulary.save(str(ps.vocabularyPath))
+            except OSError:
+                pass
         if map_save_path:
             import json
 

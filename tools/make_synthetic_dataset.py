@@ -22,7 +22,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def make_dataset(out_dir: str, duration: float = 6.0, width: int = 320,
                  height: int = 240, fx: float = 260.0, imu_rate: float = 100.0,
                  frame_rate: float = 10.0, seed: int = 0, n_landmarks: int = 300,
-                 gyro_noise: float = 5e-4, acc_noise: float = 5e-3):
+                 gyro_noise: float = 5e-4, acc_noise: float = 5e-3,
+                 world: str = "textured"):
+    """world='textured' (default): ray-cast value-noise scene — realistic
+    dense gradients for LK/GFTT (io/textured.py). world='blobs': the round-1
+    Gaussian-blob renderer (kept for comparisons)."""
     from hybvio_tpu.io.jsonl import Recorder
     from hybvio_tpu.io.synthetic import (
         SYNTH_IMU_TO_CAMERA, generate_sequence, render_view,
@@ -31,11 +35,27 @@ def make_dataset(out_dir: str, duration: float = 6.0, width: int = 320,
     seq = generate_sequence(duration=duration, imu_rate=imu_rate,
                             frame_rate=frame_rate, n_landmarks=n_landmarks,
                             gyro_noise=gyro_noise, acc_noise=acc_noise, seed=seed)
+    if world == "textured":
+        from hybvio_tpu.io.textured import TexturedScene, textured_frame_renderer
+
+        scene = TexturedScene(seed=seed, wall_radius=6.0)
+        render_tex = textured_frame_renderer(
+            scene, seq, SYNTH_IMU_TO_CAMERA, fx, fx, width / 2, height / 2,
+            width, height)
     rec = Recorder(out_dir)
     # embed extrinsics + intrinsics in the data file (reference supports this)
     rec.f.write(json.dumps({
         "imuToCamera": [list(row) for row in np.asarray(SYNTH_IMU_TO_CAMERA)],
         "cameraInd": 0}) + "\n")
+    # per-dataset tracker tuning, exactly like the reference ships a
+    # parameters.txt per benchmark dataset (README.md:83): this world's LK
+    # localization error is ~1-3 px (motion smear on the ray-cast renders),
+    # so the RANSAC inlier gates must be wider than the 2 px defaults that
+    # assume sharp imagery — measured: the GROUND-TRUTH essential matrix
+    # explains only ~40% of genuine tracks at the defaults here
+    with open(os.path.join(out_dir, "parameters.txt"), "w") as pf:
+        pf.write("ransac2Threshold 8.0;\nransac5Threshold 4.0;\n"
+                 "visualR 0.5;\n")
 
     cam_params = [{
         "focalLengthX": fx, "focalLengthY": fx,
@@ -48,9 +68,12 @@ def make_dataset(out_dir: str, duration: float = 6.0, width: int = 320,
         rec.gyro(t, seq.gyro[k])
         rec.acc(t, seq.acc[k])
         if k in frame_set:
-            img = render_view(
-                seq.landmarks, seq.pos[k], seq.quat[k], SYNTH_IMU_TO_CAMERA,
-                fx, fx, width / 2, height / 2, width, height, blob_sigma=1.2)
+            if world == "textured":
+                img = render_tex(fi)
+            else:
+                img = render_view(
+                    seq.landmarks, seq.pos[k], seq.quat[k], SYNTH_IMU_TO_CAMERA,
+                    fx, fx, width / 2, height / 2, width, height, blob_sigma=1.2)
             rec.frame(t, [img], cam_params)
             rec.ground_truth(t, seq.pos[k], seq.quat[k])
             fi += 1
@@ -61,8 +84,9 @@ def make_dataset(out_dir: str, duration: float = 6.0, width: int = 320,
 if __name__ == "__main__":
     out = sys.argv[1] if len(sys.argv) > 1 else "/tmp/synth_dataset"
     dur = float(sys.argv[2]) if len(sys.argv) > 2 else 6.0
-    d, n = make_dataset(out, dur)
-    print(f"wrote {n} frames to {d}")
+    world = sys.argv[3] if len(sys.argv) > 3 else "textured"
+    d, n = make_dataset(out, dur, world=world)
+    print(f"wrote {n} frames to {d} ({world})")
 
 
 def make_euroc_dataset(out_dir: str, duration: float = 4.0, width: int = 320,
