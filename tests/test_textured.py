@@ -142,76 +142,18 @@ def test_lk_survival_under_exposure_and_noise():
 @pytest.mark.slow
 def test_full_vio_on_textured_frames():
     """End-to-end mono VIO on the textured world with occlusion, per-frame
-    exposure jitter, pixel noise, and motion blur. Honest bound: this is a
+    exposure jitter, pixel noise, and motion blur (the shared probe also
+    feeds bench.py's extra.textured evidence). Honest bound: this is a
     harder regime than the blob world (ATE there: ~0.005-0.08 m)."""
-    from hybvio_tpu.config import DerivedParameters, Parameters
-    from hybvio_tpu.eval.ate import ate_rmse
-    from hybvio_tpu.odometry.backend import ImuBatch
-    from hybvio_tpu.odometry.vio import make_vio
+    from hybvio_tpu.eval.textured_probe import run_textured_probe
 
-    p = Parameters()
-    p.odometry.cameraTrailLength = 8
-    p.tracker.maxTracks = 64
-    p.tracker.focalLength = FX
-    p.tracker.principalPointX = CX
-    p.tracker.principalPointY = CY
-    p.tracker.pyrLKWindowSize = 15
-    p.tracker.pyrLKMaxLevel = 2
-    p.tracker.gfttMinDistance = 20.0
-    p.odometry.imuToCameraMatrix = tuple(SYNTH_IMU_TO_CAMERA.T.flatten())
-    p.odometry.visualR = 0.5  # textured LK is noisier than blob LK
-    # per-dataset RANSAC gates (reference practice: parameters.txt per
-    # dataset): motion smear on these renders puts genuine-track epipolar
-    # error beyond the sharp-image 2 px defaults — the GROUND-TRUTH
-    # essential matrix itself fails them on blurred frames
-    p.tracker.ransac2Threshold = 8.0
-    p.tracker.ransac5Threshold = 4.0
-    derived = DerivedParameters.from_parameters(p)
-
-    from hybvio_tpu.geometry.cameras import build_pinhole
-
-    cam = build_pinhole(FX, FY, CX, CY, width=W, height=H)
-
-    seq = generate_sequence(duration=6.0, imu_rate=100.0, frame_rate=10.0,
-                            gyro_noise=5e-4, acc_noise=5e-3, seed=8,
-                            radius=2.0)
-    scene = TexturedScene(seed=8, wall_radius=6.0)
-    render = textured_frame_renderer(
-        scene, seq, SYNTH_IMU_TO_CAMERA, FX, FY, CX, CY, W, H,
-        exposure_jitter=0.05, pixel_noise=0.01, motion_blur=True)
-
-    init_fn, vio_step = make_vio(p, derived, (cam,), max_tracks=64)
-    vio_step = jax.jit(vio_step)
-
-    F = len(seq.frame_sample_idx)
-    state = init_fn(jnp.asarray(render(0)), t0=float(seq.frame_times[0]))
-    prev = seq.frame_sample_idx[0] + 1
-    S_max = int(np.max(np.diff(np.concatenate([[0], seq.frame_sample_idx + 1]))))
-
-    est = []
-    for fi in range(1, F):
-        k = seq.frame_sample_idx[fi] + 1
-        n = k - prev
-        pad = S_max - n
-        t = np.pad(seq.times[prev:k], (0, pad), constant_values=seq.times[k - 1])
-        g = np.pad(seq.gyro[prev:k], ((0, pad), (0, 0)))
-        a = np.pad(seq.acc[prev:k], ((0, pad), (0, 0)))
-        valid = np.arange(S_max) < n
-        batch = ImuBatch(jnp.asarray(t), jnp.asarray(g), jnp.asarray(a),
-                         jnp.asarray(valid))
-        prev = k
-        state, out = vio_step(state, batch, jnp.asarray(render(fi)))
-        est.append(np.asarray(out.position))
-
-    est = np.stack(est)
-    assert np.isfinite(est).all()
-    gt = seq.pos[seq.frame_sample_idx[1:F]] - seq.pos[0]
-    ate = ate_rmse(est, gt)
+    res = run_textured_probe(duration=6.0, seed=8)
+    assert res["finite"]
     # honest bound for the hard regime (measured 0.03-0.10 m across the
     # blur/jitter/noise ablations after the front-end unit fixes; the blob
     # world gets <0.08 m on the same length). Tracks regression, not a brag.
-    assert ate < 0.15, f"textured-world ATE {ate:.3f} m"
-    print(f"textured VIO ATE: {ate:.4f} m")
+    assert res["ate_rmse_m"] < 0.15, f"textured-world ATE {res['ate_rmse_m']} m"
+    print(f"textured VIO ATE: {res['ate_rmse_m']} m")
 
 
 @pytest.mark.slow
