@@ -406,10 +406,26 @@ class VioApi:
 
         self._handle_status_and_reset(out)
         if self.debug_api is not None and self.debug_api.publisher is not None:
+            # publish sites mirror the reference's DebugPublisher hooks
+            # embedded in trackerVisualUpdate (reference: debug.hpp:25-47;
+            # publish sites backend.cpp:1061-1064,1197-1201,
+            # triangulation.cpp:148-150,181-183)
+            from ..odometry.backend import PF_HYBRID, PF_POSE_TRAIL
+            from ..odometry.triangulation import TRI_OK
+
             pub = self.debug_api.publisher
             pub.start_frame(float(out.t), self._state)
+            t = float(out.t)
             pc = np.asarray(out.point_cloud)
             ids = np.asarray(out.point_cloud_ids)
+            pf_status = np.asarray(out.point_cloud_status)
+            tri_status = np.asarray(out.vu_tri_status)
+            for i in np.where(ids >= 0)[0]:
+                pub.start_visual_update(t, int(ids[i]), None)
+                if tri_status[i] == TRI_OK:
+                    pub.push_triangulation_point(pc[i])
+                if pf_status[i] in (PF_POSE_TRAIL, PF_HYBRID):
+                    pub.finish_successful_visual_update(t, int(ids[i]))
             if (ids >= 0).any():
                 pub.add_point_cloud(pc[ids >= 0])
         if self.on_output:

@@ -52,10 +52,31 @@ def draw_line(img: np.ndarray, x0, y0, x1, y1, color):
     img[ys[ok], xs[ok]] = color
 
 
+# per-status flow/corner colors (reference draws Feature::Status-dependent
+# colors in api_visualization_helpers.cpp; codes = frontend.tracker.ST_*)
+STATUS_COLORS = {
+    0: (0.1, 1.0, 0.2),   # TRACKED — green
+    1: (1.0, 0.9, 0.1),   # NEW — yellow
+    2: (0.5, 0.5, 0.5),   # FAILED_FLOW — gray
+    3: (1.0, 0.2, 0.2),   # RANSAC_OUTLIER — red
+    4: (0.4, 0.4, 0.4),   # FLOW_OUT_OF_RANGE — dark gray
+    5: (0.4, 0.4, 0.4),   # OUT_OF_RANGE
+    6: (1.0, 0.2, 1.0),   # FAILED_EPIPOLAR_CHECK — magenta
+    7: (1.0, 0.6, 0.1),   # CULLED — orange
+    8: (0.7, 0.1, 0.1),   # BLACKLISTED — dark red
+}
+
+
 def render_video_overlay(gray, track_pixels, track_valid, track_trails=None,
-                         outlier_mask=None, slam_points_px=None) -> np.ndarray:
+                         outlier_mask=None, slam_points_px=None,
+                         flow_prev=None, track_status=None,
+                         stereo_pixels=None) -> np.ndarray:
     """VIDEO visualization: corners + track trails (+ SLAM reprojections)
-    (reference: api_visualization_helpers.cpp)."""
+    (reference: api_visualization_helpers.cpp). With flow_prev/track_status
+    (the TaggedFrame flowCorners/flowStatus payload,
+    odometry/tagged_frame.hpp:48-58) every slot draws its attempted flow
+    vector colored by lifecycle status; stereo_pixels adds the left->right
+    match segments (epipolar visualization stand-in)."""
     img = to_rgb(gray)
     px = np.asarray(track_pixels)
     valid = np.asarray(track_valid)
@@ -65,8 +86,22 @@ def render_video_overlay(gray, track_pixels, track_valid, track_trails=None,
             t = np.asarray(trail)
             for i in range(len(t) - 1):
                 draw_line(img, t[i, 0], t[i, 1], t[i + 1, 0], t[i + 1, 1], COLORS["track"])
+    status = None if track_status is None else np.asarray(track_status)
+    if flow_prev is not None and status is not None:
+        prev = np.asarray(flow_prev)
+        for i in np.where(status >= 0)[0]:
+            c = STATUS_COLORS.get(int(status[i]), COLORS["corner"])
+            if status[i] != 1:  # NEW has no flow history
+                draw_line(img, prev[i, 0], prev[i, 1], px[i, 0], px[i, 1], c)
+    if stereo_pixels is not None and status is not None:
+        sp = np.asarray(stereo_pixels)
+        for i in np.where(status == 0)[0]:
+            draw_line(img, px[i, 0], px[i, 1], sp[i, 0], sp[i, 1], COLORS["slam"])
     for i in np.where(valid)[0]:
-        c = COLORS["outlier"] if out[i] else COLORS["corner"]
+        if status is not None:
+            c = STATUS_COLORS.get(int(status[i]), COLORS["corner"])
+        else:
+            c = COLORS["outlier"] if out[i] else COLORS["corner"]
         draw_circle(img, px[i, 0], px[i, 1], 3, c)
     if slam_points_px is not None:
         for p in np.asarray(slam_points_px):

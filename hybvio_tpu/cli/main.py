@@ -307,17 +307,24 @@ def run(argv=None) -> int:
             if "displayPlainVideo" in display_on or fo is None:
                 frame = np.asarray(img)[..., None].repeat(3, -1)
             else:
-                import jax.numpy as jnp
-
-                from ..geometry.cameras import ray_to_pixel
-
-                norm = np.asarray(fo.track_norm)
-                rays = np.concatenate(
-                    [norm, np.ones((len(norm), 1))], axis=1)
-                px = np.asarray(ray_to_pixel(
-                    api.cameras[0], jnp.asarray(rays))[0])
+                # tagged-frame payload (reference: TaggedFrame flowCorners/
+                # flowStatus, odometry/tagged_frame.hpp:48-58): per-slot flow
+                # vectors + status coloring; stereo match segments when
+                # available
+                px = np.asarray(fo.track_pixels)[:, 0, :]
+                status = np.asarray(fo.track_status)
+                prev = np.asarray(fo.track_prev_pixels)[:, 0, :]
                 valid = np.asarray(fo.track_ids) >= 0
-                frame = vz.render_video_overlay(np.asarray(img), px, valid)
+                want_flow = "displayOpticalFlow" in display_on \
+                    or "displayTracksAll" in display_on
+                stereo_px = None
+                if fo.track_pixels.shape[1] > 1 and want_flow:
+                    stereo_px = np.asarray(fo.track_pixels)[:, 1, :]
+                frame = vz.render_video_overlay(
+                    np.asarray(img), px, valid,
+                    flow_prev=prev if want_flow else None,
+                    track_status=status,
+                    stereo_pixels=stereo_px)
             save_vis(f"video_{k:06d}", frame)
         if "displayPose" in display_on:
             est_positions.append([out.position[0], out.position[1],

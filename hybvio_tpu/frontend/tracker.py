@@ -21,9 +21,21 @@ import numpy as np
 
 from ..geometry.cameras import Camera
 from .gftt import detect_corners, subpixel_refine
-from .lk import FLOW_OK, LKParams, lk_track_pyramid, precompute_prev
+from .lk import FLOW_OK, FLOW_OUT_OF_RANGE, LKParams, lk_track_pyramid, precompute_prev
 from .pyramid import build_pyramid
 from .ransac import hybrid_ransac, ransac2
+
+# per-track lifecycle status codes (reference: tracker::Feature::Status,
+# src/tracker/track.hpp:9-20); -1 = empty slot
+ST_TRACKED = 0
+ST_NEW = 1
+ST_FAILED_FLOW = 2
+ST_RANSAC_OUTLIER = 3
+ST_FLOW_OUT_OF_RANGE = 4
+ST_OUT_OF_RANGE = 5
+ST_FAILED_EPIPOLAR_CHECK = 6
+ST_CULLED = 7
+ST_BLACKLISTED = 8
 
 
 class TrackerState(NamedTuple):
@@ -46,6 +58,12 @@ class TrackerOutput(NamedTuple):
     keyframe: jnp.ndarray  # () bool
     ransac_score: jnp.ndarray  # () stationarity score (R2 inlier fraction)
     n_tracks: jnp.ndarray  # () int32
+    # visualization payload (reference: TaggedFrame flowCorners*/flowStatus +
+    # corners, odometry/tagged_frame.hpp:48-58): EVERY slot's lifecycle
+    # outcome this frame, incl. failures the filtered track_ids hide
+    status: jnp.ndarray  # (T,) int32 ST_* code, -1 = empty slot
+    prev_pixels: jnp.ndarray  # (T, C, 2) previous-frame positions
+    viz_pixels: jnp.ndarray  # (T, C, 2) attempted/current positions (all slots)
 
 
 def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.float32,
@@ -213,7 +231,8 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
             list(ts.prev_pyr),
             list(zip(ts.prev_ix, ts.prev_iy)),
             cur_pyr, prev_px, initial_pts=guesses, params=lk_params)
-        tracked = alive & (flow_status == FLOW_OK) & ~black
+        flow_ok = alive & (flow_status == FLOW_OK) & ~black
+        tracked = flow_ok
 
         # --- stereo: match left->right on the CURRENT pair (reference:
         # tracker.cpp:409-463, default !independentStereoOpticalFlow) ---
@@ -436,6 +455,29 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
             frame_num=ts.frame_num + 1,
             prev_time=jnp.asarray(t, dtype),
         )
+        # --- per-slot lifecycle status for visualization (reference:
+        # Feature::Status, track.hpp:9-20; TaggedFrame flowStatus) ---
+        status = jnp.where(alive, ST_FAILED_FLOW, -1).astype(jnp.int32)
+        status = jnp.where(alive & (flow_status == FLOW_OUT_OF_RANGE),
+                           ST_FLOW_OUT_OF_RANGE, status)
+        status = jnp.where(flow_ok, ST_TRACKED, status)
+        if use_stereo:
+            status = jnp.where(flow_ok & ~stereo_ok,
+                               ST_FAILED_EPIPOLAR_CHECK, status)
+        status = jnp.where(alive & black, ST_BLACKLISTED, status)
+        status = jnp.where(tracked & ~inlier, ST_RANSAC_OUTLIER, status)
+        status = jnp.where(inlier & cull, ST_CULLED, status)
+        status = status.at[slot_for_det].set(
+            jnp.where(fill, ST_NEW, status[slot_for_det]), mode="drop")
+        # attempted/current positions for every slot: detections and kept
+        # tracks read the committed px; failed slots show where LK landed
+        viz0 = jnp.where((keep | ~alive)[:, None], px[:, 0, :], new_px)
+        if use_stereo:
+            viz1 = jnp.where((keep | ~alive)[:, None], px[:, 1, :], right_px)
+            viz_px = jnp.stack([viz0, viz1], axis=1)
+        else:
+            viz_px = viz0[:, None, :]
+
         # output: only tracks that were TRACKED THIS FRAME (not fresh detections,
         # which have no history yet -- they enter the trail next frame like the
         # reference where output.tracks excludes new detections)
@@ -446,6 +488,9 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
             keyframe=keyframe,
             ransac_score=r2.score,
             n_tracks=jnp.sum(keep).astype(jnp.int32),
+            status=status,
+            prev_pixels=ts.px,
+            viz_pixels=viz_px,
         )
         return new_state, out
 

@@ -67,6 +67,11 @@ class TrackerInput(NamedTuple):
     keyframe: jnp.ndarray  # () bool: tracker keyframe decision
     # stereo-only extras (zeros when mono):
     stereo_depth: jnp.ndarray  # (T,) dense-depth at track, -1 = none
+    # visualization payload passthrough (reference: TaggedFrame,
+    # odometry/tagged_frame.hpp:48-58); None when the caller doesn't render
+    track_status: Optional[jnp.ndarray] = None  # (T,) int32 ST_* code
+    prev_pixels: Optional[jnp.ndarray] = None  # (T, C, 2)
+    viz_pixels: Optional[jnp.ndarray] = None  # (T, C, 2)
 
 
 class ImuBatch(NamedTuple):
@@ -112,6 +117,15 @@ class FrameOutput(NamedTuple):
     track_ids: jnp.ndarray  # (T,) current tracked ids (for SLAM features)
     track_norm: jnp.ndarray  # (T, 2) normalized left-camera points
     track_depth: jnp.ndarray  # (T,) dense stereo z-depth in cam0, -1 = none
+    # tagged-frame visualization payload (reference: TaggedFrame +
+    # TrackVisualization, odometry/tagged_frame.hpp:17-58)
+    track_status: jnp.ndarray  # (T,) int32 tracker ST_* code, -1 = empty
+    track_prev_pixels: jnp.ndarray  # (T, C, 2) previous-frame positions
+    track_pixels: jnp.ndarray  # (T, C, 2) attempted/current positions
+    # per-VU-candidate statuses, aligned with point_cloud_ids (reference:
+    # TrackVisualization.triangulateStatus/prepareVuStatus)
+    vu_tri_status: jnp.ndarray  # (NV,) int32 TRI_* code
+    vu_prepare_status: jnp.ndarray  # (NV,) int32 prepare status
 
 
 def _highest_precision(fn):
@@ -401,7 +415,9 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
 
             carry = (m_new, P_new, kf_used_new, mp_ids_new, attempts, successes,
                      rmse_thr, chi_r, bl_flags, bl_ids)
-            return carry, (pc_point, pc_status.astype(jnp.int32), pc_id)
+            return carry, (pc_point, pc_status.astype(jnp.int32), pc_id,
+                           out.tri_status.astype(jnp.int32),
+                           out.prepare_status.astype(jnp.int32))
 
         init_carry = (
             ekf.m, ekf.P, trail_state.kf_used, trail_state.map_point_ids,
@@ -409,7 +425,8 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             jnp.asarray(rmse_thr0, dtype), jnp.asarray(chi_r0, dtype),
             jnp.zeros((T,), bool), jnp.full((T,), -1, jnp.int32),
         )
-        carry, (pc_points, pc_status, pc_ids) = jax.lax.scan(body, init_carry, order)
+        carry, (pc_points, pc_status, pc_ids, vu_tri, vu_prep) = jax.lax.scan(
+            body, init_carry, order)
         (m, P, kf_used, mp_ids_arr, attempts, successes, _, _, bl_flags, bl_ids) = carry
 
         # blacklisted-last-frame tracks stay blacklisted until the tracker
@@ -428,7 +445,8 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
                           ((po.maxVisualUpdates <= 0) | (attempts < po.maxVisualUpdates))
         state = state._replace(ekf=ekf, trail=trail_state, rng=rng,
                                blacklist_flags=bl_flags, blacklist_ids=bl_ids)
-        return state, (pc_points, pc_status, pc_ids), need_more_final, too_many_failures
+        return (state, (pc_points, pc_status, pc_ids, vu_tri, vu_prep),
+                need_more_final, too_many_failures)
 
     @_highest_precision
     def visual_update_phase_batched(state: BackendState, track_ids, norm_pts,
@@ -651,7 +669,11 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             ekf=ekf._replace(m=m, P=P),
             trail=new_trail,
             rng=rng, blacklist_flags=bl_flags, blacklist_ids=bl_ids)
-        return state, (pc_points, pc_status, pc_ids), need_more_final, too_many_failures
+        return (state,
+                (pc_points, pc_status, pc_ids,
+                 outs.tri_status.astype(jnp.int32),
+                 outs.prepare_status.astype(jnp.int32)),
+                need_more_final, too_many_failures)
 
     use_batched = bool(getattr(po, "batchVisualUpdate", False))
 
@@ -778,10 +800,21 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
                 tracking_status=status.astype(jnp.int32))
         else:
             pc = (jnp.zeros((NV, 3), dtype), jnp.zeros((NV,), jnp.int32),
-                  jnp.full((NV,), -1, jnp.int32))
+                  jnp.full((NV,), -1, jnp.int32), jnp.zeros((NV,), jnp.int32),
+                  jnp.zeros((NV,), jnp.int32))
             good_frame = jnp.zeros((), bool)
 
         ekf = state.ekf
+        n_cams_in = tracker_in.pixels.shape[1]
+        viz_status = (tracker_in.track_status
+                      if tracker_in.track_status is not None
+                      else jnp.full((T,), -1, jnp.int32))
+        viz_prev = (tracker_in.prev_pixels
+                    if tracker_in.prev_pixels is not None
+                    else jnp.zeros((T, n_cams_in, 2), tracker_in.pixels.dtype))
+        viz_px = (tracker_in.viz_pixels
+                  if tracker_in.viz_pixels is not None
+                  else tracker_in.pixels)
         out = FrameOutput(
             t=t_frame,
             position=ekf.m[POS:POS + 3],
@@ -803,6 +836,11 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             track_ids=state.trail.kf_track_id[1],
             track_norm=state.trail.kf_norm[1, :, 0, :],
             track_depth=tracker_in.stereo_depth,
+            track_status=viz_status,
+            track_prev_pixels=viz_prev,
+            track_pixels=viz_px,
+            vu_tri_status=pc[3],
+            vu_prepare_status=pc[4],
         )
         return state, out
 

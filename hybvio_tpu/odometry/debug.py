@@ -40,12 +40,20 @@ class RecordingPublisher(DebugPublisher):
         self.samples: List[tuple] = []
         self.triangulations: List[np.ndarray] = []
         self.point_clouds: List[np.ndarray] = []
+        self.visual_updates: List[tuple] = []  # (t, track_id)
+        self.successful_updates: List[tuple] = []  # (t, track_id)
 
     def start_frame(self, t, state):
         self.frames.append(float(t))
 
     def add_sample(self, t, gyro, acc):
         self.samples.append((float(t), np.asarray(gyro), np.asarray(acc)))
+
+    def start_visual_update(self, t, track_id, image_features):
+        self.visual_updates.append((float(t), int(track_id)))
+
+    def finish_successful_visual_update(self, t, track_id):
+        self.successful_updates.append((float(t), int(track_id)))
 
     def push_triangulation_point(self, point):
         self.triangulations.append(np.asarray(point))

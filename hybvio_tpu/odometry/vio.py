@@ -239,6 +239,9 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=jnp.float64,
             pixels=tout.pixels.astype(dtype),
             keyframe=tout.keyframe,
             stereo_depth=depths,
+            track_status=tout.status,
+            prev_pixels=tout.prev_pixels,
+            viz_pixels=tout.viz_pixels,
         )
         return VioState(backend=bstate, tracker=tstate,
                         tracker_ready=state.tracker_ready), tin

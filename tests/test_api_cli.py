@@ -353,3 +353,56 @@ def test_gray_pool_reuse():
     del held
     g3 = api._to_gray(img)  # g1's slot is free now; pool may reuse it
     np.testing.assert_allclose(g3, img / 255.0, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_debug_publisher_sites(dataset):
+    """DebugPublisher hooks fire from the API frame loop (reference publish
+    sites: backend.cpp:751-757,1061-1064,1197-1201; triangulation.cpp:148-150):
+    per-VU start/triangulation/success events + per-frame point clouds."""
+    from hybvio_tpu.api.vio import VioApi
+    from hybvio_tpu.config import Parameters
+    from hybvio_tpu.odometry.debug import DebugAPI, RecordingPublisher
+
+    p = Parameters()
+    jio.set_parameters_from_data(p, os.path.join(dataset, "data.jsonl"))
+    p.tracker.focalLength = 260.0
+    p.tracker.principalPointX = 160.0
+    p.tracker.principalPointY = 120.0
+    p.tracker.maxTracks = 32
+    p.odometry.cameraTrailLength = 6
+    p.tracker.pyrLKWindowSize = 15
+    p.tracker.pyrLKMaxLevel = 2
+    p.tracker.gfttMinDistance = 25.0
+    p.odometry.visualR = 0.3
+
+    api = VioApi(p, 320, 240)
+    pub = RecordingPublisher()
+    api.debug_api = DebugAPI(publisher=pub)
+
+    from hybvio_tpu.io.video import open_frame_source
+
+    frames = open_frame_source(dataset)
+    n = 0
+    for ev in jio.read_jsonl_events(os.path.join(dataset, "data.jsonl")):
+        if ev.kind == jio.GYROSCOPE:
+            api.add_gyro(ev.t, ev.values)
+        elif ev.kind == jio.ACCELEROMETER:
+            api.add_acc(ev.t, ev.values)
+        elif ev.kind == jio.FRAME:
+            num = ev.frames_index if ev.frames_index >= 0 else n
+            api.add_frame_mono(ev.t, frames.frame(num))
+            n += 1
+            if n >= 20:
+                break
+
+    assert len(pub.frames) >= 15
+    assert len(pub.visual_updates) > 0
+    assert len(pub.successful_updates) > 0
+    assert len(pub.triangulations) > 0
+    assert len(pub.point_clouds) > 0
+    # successful updates are a subset of started ones
+    assert set(pub.successful_updates) <= set(pub.visual_updates)
+    # triangulated points are finite 3-vectors
+    assert all(np.isfinite(x).all() and x.shape == (3,)
+               for x in pub.triangulations)

@@ -51,3 +51,29 @@ def test_imu_plot():
     assert img.shape == (256, 512, 3)
     assert np.isfinite(img).all()
     assert (img > 0.2).sum() > 100  # polylines drawn
+
+
+def test_video_overlay_flow_status():
+    """Tagged-frame payload rendering: per-slot flow vectors colored by
+    lifecycle status + stereo match segments (reference: TaggedFrame
+    flowCorners/flowStatus, odometry/tagged_frame.hpp:48-58)."""
+    g = np.zeros((120, 160), np.float32) + 0.2
+    px = np.array([[40.0, 50.0], [100.0, 80.0], [20.0, 20.0], [-1.0, -1.0]])
+    prev = np.array([[30.0, 45.0], [90.0, 70.0], [20.0, 20.0], [-1.0, -1.0]])
+    status = np.array([0, 3, 1, -1], np.int32)  # TRACKED, OUTLIER, NEW, empty
+    valid = np.array([True, False, False, False])
+    stereo = px + np.array([25.0, 0.0])
+    img = render_video_overlay(g, px, valid, flow_prev=prev,
+                               track_status=status, stereo_pixels=stereo)
+    assert img.shape == (120, 160, 3)
+    # green flow segment between prev[0] and px[0]
+    seg = img[45:51, 30:41]
+    assert (seg[..., 1] > 0.9).any()
+    # red outlier flow near (95, 75)
+    seg2 = img[70:81, 90:101]
+    assert (seg2[..., 0] > 0.9).any()
+    # stereo segment drawn right of the tracked corner
+    seg3 = img[49:52, 41:65]
+    assert (seg3[..., 2] > 0.9).any()
+    # empty slot (-1) drew nothing at its corner
+    assert (img[18:23, 0:4] <= 0.21).all()
