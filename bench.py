@@ -52,6 +52,14 @@ def build_config(config, jnp):
         lk_levels=int(lk_levels) if lk_levels else None,
         lk_iters=int(lk_iters) if lk_iters else None,
         rcond=float(rcond) if rcond else None)
+    # ad-hoc parameter sweeps without editing the preset, e.g.
+    # BENCH_OVERRIDES="odometry.maxVisualUpdates=8,tracker.maxTracks=64"
+    for kv in filter(None, os.environ.get("BENCH_OVERRIDES", "").split(",")):
+        key, val = kv.split("=")
+        group, name = key.split(".")
+        cur = getattr(getattr(p, group), name)
+        p.set_parameter(group, name, type(cur)(val) if cur is not None
+                        else float(val))
     seq_kwargs = dict(n_landmarks=500, gyro_noise=5e-4, acc_noise=5e-3, seed=0)
 
     if config == "fisheye":

@@ -2,7 +2,12 @@
 
 Usage:
     python -m hybvio_tpu.cli.main -i=<dataset_dir> [-o=<output.jsonl>]
-        [-p=<parameters.txt>] [-c=<calibration.json>] [any -paramName=value]
+        [-parametersPath=<parameters.txt>] [-calibrationPath=<calibration.json>]
+        [any -paramName=value]   (-help lists the full flag surface)
+
+Flag surface = the reference `main` binary's 59 cmd parameters (generated
+from codegen/cmd_parameter_definitions.json into config/cmd_params_generated);
+short aliases follow the reference (-c = displayVideo, -p = displayPose).
 
 Dataset directory layout (reference: src/commandline/main.cpp:259-397):
     data.jsonl                 sensor + frame metadata (+ embedded calibration)
@@ -47,52 +52,46 @@ def run(argv=None) -> int:
     from ..io import jsonl as jio
     from ..io.video import open_frame_source
 
-    # main-level flags: reference long names + shorts
-    # (codegen/cmd_parameter_definitions.json)
-    _ALIASES = {
-        "inputPath": "i", "outputPath": "o", "recordingPath": "r",
-        "videoRecordingPath": "vr", "parametersPath": "p",
-        "calibrationPath": "c", "pointCloudOutputPath": "pc",
-        "logLevel": "v", "frames": "maxFrames",
-        "width": "targetFrameWidth",
-    }
-    _MAIN_KEYS = {
-        "i", "o", "p", "c", "r", "vr", "pc", "maxFrames", "timer",
-        "outputType", "slamMapPosesPath", "v", "targetFrameWidth",
-        "targetFrameWidthUpsample", "visuUpdateInterval",
-        "visualizationPath", "stepMode", "interactive", "windowResolution",
-        "datasetVideoIndex", "gpu", "skipOpenGlCleanup",
-    }
+    # the full reference CLI surface (59 params in groups main/viewer/slam),
+    # generated from codegen/cmd_parameter_definitions.json by
+    # tools/gen_cmd_params.py; keys are flat (long name or short alias) and
+    # normalize to long names here. NOTE reference short semantics: -c =
+    # displayVideo, -p = displayPose (NOT calibration/parameters paths).
+    from ..config.cmd_params_generated import CMD_PARAMS, SHORT_TO_NAME, help_text
+
+    _SHORTS = {short: name for short, (_g, name) in SHORT_TO_NAME.items()}
+    _LONG_KEYS = ({n for items in CMD_PARAMS.values() for n in items}
+                  | {"visualizationPath", "interactive"})
     # display flags map to raster renderers (api/visualizations.py); frames
-    # are written under -visualizationPath (headless: no GUI windows)
-    _DISPLAY_KEYS = {
-        "displayVideo", "displayPose", "displayCorrelation",
-        "displayCovarianceMagnitude", "displayPointCloud",
-        "displayImuSamples", "displayStereoMatching",
-        "displayStereoDisparity", "displayStereoDepth", "displayTracks",
-        "displayTracksAll", "displayOpticalFlow", "displayCornerMeasure",
-        "displayStereoEpipolarCurves", "displayPlainVideo",
-        "visualUpdateViewer",
-    }
+    # are written under -visualizationPath (headless: no GUI windows).
+    # viewer-group params (Pangolin 3D viewer settings in the reference) are
+    # accepted for command-line compatibility; there is no GUI to apply most
+    # of them to.
+    _DISPLAY_KEYS = {n for n in CMD_PARAMS["main"]
+                     if n.startswith("display")} | {"visualUpdateViewer"}
     main_flags = {}
     rest = []
     for a in argv:
         body = a.lstrip("-")
         k, _, v = body.partition("=")
-        k = _ALIASES.get(k, k)
-        if k in _MAIN_KEYS or k in _DISPLAY_KEYS:
+        k = _SHORTS.get(k, k)
+        if k in ("help", "h"):
+            print(__doc__)
+            print(help_text())
+            return 0
+        if k in _LONG_KEYS:
             main_flags[k] = v if v else "true"
         else:
             rest.append(a)
-    if "i" not in main_flags:
+    if "inputPath" not in main_flags:
         print(__doc__)
         return 2
 
     from ..utils.logging import setup_logging
 
-    setup_logging(int(main_flags.get("v", "0") if main_flags.get("v", "0") != "true" else 1))
+    setup_logging(int(main_flags.get("logLevel", "0") if main_flags.get("logLevel", "0") != "true" else 1))
 
-    dataset = main_flags["i"]
+    dataset = main_flags["inputPath"]
     # legacy CSV input: -i=<video.mp4|.mov> with a sibling .csv (reference:
     # input_csv.cpp:66-77), or a folder containing data.csv (handled below)
     data_csv = None
@@ -124,7 +123,7 @@ def run(argv=None) -> int:
         cams = read_euroc_calibration(euroc_dir)
         if cams:
             apply_calibration_json(params, json.dumps({"cameras": cams}))
-    ppath = main_flags.get("p")
+    ppath = main_flags.get("parametersPath")
     if not ppath:
         for cand in ("vio_config.yaml", "parameters.txt"):
             c = os.path.join(dataset, cand)
@@ -137,7 +136,7 @@ def run(argv=None) -> int:
             apply_yaml(params, text)
         else:
             apply_parameters_text(params, text)
-    cpath = main_flags.get("c") or os.path.join(dataset, "calibration.json")
+    cpath = main_flags.get("calibrationPath") or os.path.join(dataset, "calibration.json")
     if os.path.exists(cpath):
         apply_calibration_json(params, open(cpath).read())
     unparsed = apply_argv(params, rest)
@@ -159,7 +158,7 @@ def run(argv=None) -> int:
 
         H, W = load_image_file(first[0]).shape
     else:
-        src_path = (video_path if data_csv and dataset != main_flags["i"]
+        src_path = (video_path if data_csv and dataset != main_flags["inputPath"]
                     else find_frame_source_path(dataset))
         if src_path is None:
             print(f"error: no frame source found in {dataset}", file=sys.stderr)
@@ -238,7 +237,7 @@ def run(argv=None) -> int:
     from ..api.vio import VioApi
 
     max_frames = int(main_flags.get("maxFrames", "0") or 0)
-    out_file = open(main_flags["o"], "w") if main_flags.get("o") else None
+    out_file = open(main_flags["outputPath"], "w") if main_flags.get("outputPath") else None
     with_trail = main_flags.get("outputType") == "tail" or params.odometry.outputJsonPoseTrail
 
     api = VioApi(params, W, H)
@@ -250,17 +249,17 @@ def run(argv=None) -> int:
     # session recording (reference: -recordingPath / -videoRecordingPath via
     # jsonl-recorder, api.cpp:97-101,631-710)
     recorder = None
-    if main_flags.get("r") or main_flags.get("vr"):
+    if main_flags.get("recordingPath") or main_flags.get("videoRecordingPath"):
         from ..io.jsonl import Recorder
 
-        rpath = main_flags.get("r") or main_flags.get("vr")
-        recorder = Recorder(rpath, save_frames=bool(main_flags.get("vr")))
-        if main_flags.get("vr") and main_flags.get("r") is None:
-            recorder.dir = main_flags["vr"] if not main_flags["vr"].endswith(
-                ".jsonl") else os.path.dirname(main_flags["vr"]) or "."
+        rpath = main_flags.get("recordingPath") or main_flags.get("videoRecordingPath")
+        recorder = Recorder(rpath, save_frames=bool(main_flags.get("videoRecordingPath")))
+        if main_flags.get("videoRecordingPath") and main_flags.get("recordingPath") is None:
+            recorder.dir = main_flags["videoRecordingPath"] if not main_flags["videoRecordingPath"].endswith(
+                ".jsonl") else os.path.dirname(main_flags["videoRecordingPath"]) or "."
 
     # point cloud CSV (reference: writePointCloudToCsv, main.cpp:399-408)
-    pc_file = open(main_flags["pc"], "w") if main_flags.get("pc") else None
+    pc_file = open(main_flags["pointCloudOutputPath"], "w") if main_flags.get("pointCloudOutputPath") else None
 
     # headless display flags -> raster dumps under -visualizationPath
     vis_dir = main_flags.get("visualizationPath")

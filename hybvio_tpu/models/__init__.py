@@ -111,6 +111,15 @@ def synthetic_bench_params(config: str = "stereo",
     p.odometry.visualR = 0.3
     p.odometry.batchVisualUpdate = True
     p.odometry.triangulationRcondThreshold = 1e-5 if rcond is None else rcond
+    # visual-update candidate width (NV = maxVisualUpdates + slack): swept
+    # 20/12/8/6 on TPU stereo B=16 at 300 frames — 446.6/469.7/469.5/494.3
+    # FPS; the ATE guardrail breaks below 12 on the LONG sequence (0.0072 at
+    # 12 vs 1.27 at 8: too few corrective updates through the hard section
+    # and the batched lanes never recover — no API auto-reset in this mode).
+    # The shorter 150-frame sweep tolerated 6; the long run is the honest
+    # gate. +5% FPS over the reference default 20 at unchanged ATE.
+    # maxSuccessfulVisualUpdates stays at the reference default 5.
+    p.odometry.maxVisualUpdates = 12
     # RANSAC gates widened for this world's LK noise (~1-2 px on the
     # synthetic renders) — same per-dataset tuning the reference applies via
     # parameters.txt; with the honest 5-point solver the 2 px defaults
