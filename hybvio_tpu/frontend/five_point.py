@@ -121,10 +121,12 @@ def _roots_durand_kerner(coeffs, iters: int = 60):
     cu = c / powers.astype(cdtype)  # scaled polynomial coefficients
 
     def poly(u):
-        # u^10 + cu[0] u^9 + ... + cu[9], Horner
-        def h(acc, ck):
-            return acc * u + ck, None
-        acc, _ = jax.lax.scan(h, jnp.ones_like(u), cu)
+        # u^10 + cu[0] u^9 + ... + cu[9]; Horner unrolled (n is static and
+        # small — a scan here would serialize 10 extra steps per DK
+        # iteration inside the fori_loop, which dominates solver latency)
+        acc = jnp.ones_like(u)
+        for k in range(n):
+            acc = acc * u + cu[k]
         return acc
 
     w0 = (0.4 + 0.9j) ** jnp.arange(1, n + 1)
@@ -152,8 +154,11 @@ def five_point_essential(pts1, pts2, dtype=None):
     h1 = jnp.concatenate([pts1, jnp.ones((5, 1), dtype)], axis=1)
     h2 = jnp.concatenate([pts2, jnp.ones((5, 1), dtype)], axis=1)
     A = jnp.einsum("ni,nj->nij", h2, h1).reshape(5, 9)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    null = Vt[5:9]  # (4, 9)
+    # nullspace of the 5x9 system via complete QR of A^T (Householder):
+    # Q[:, 5:] spans null(A) exactly; cheaper than the full SVD under a
+    # wide vmap (no iterative singular-value phase)
+    Q, _ = jnp.linalg.qr(A.T, mode="complete")  # (9, 9)
+    null = Q[:, 5:9].T  # (4, 9)
     X, Y, Z, W = (null[i].reshape(3, 3) for i in range(4))
 
     M = _coeff_matrix(X, Y, Z, W, dtype)
@@ -171,11 +176,14 @@ def five_point_essential(pts1, pts2, dtype=None):
         # The evaluation vector v = [basis monomials at the solution] obeys
         # x*v = Ax^T v (Ax columns hold the reduction coefficients of x*b_j),
         # so extract v from the nullspace of (Ax^T - x I) by inverse
-        # iteration (3 batched LU solves — far cheaper than a 10x10 SVD)
+        # iteration: ONE LU factorization reused across 3 solves (the
+        # factorization dominates; 3 independent jnp.linalg.solve calls
+        # would refactor every time)
         B = Ax.T - xr * eye + 1e-10 * eye
+        lu, piv = jax.scipy.linalg.lu_factor(B)
         v = jnp.ones(10, dtype)
         for _ in range(3):
-            v = jnp.linalg.solve(B, v)
+            v = jax.scipy.linalg.lu_solve((lu, piv), v)
             nv = jnp.linalg.norm(v)
             v = v / jnp.where(nv > 1e-300, nv, 1.0)
         v = jnp.where(jnp.all(jnp.isfinite(v)), v, jnp.ones(10, dtype))
