@@ -117,6 +117,10 @@ class VioApi:
         self._status = 0
         self._last_reset_time = 0.0
         self.last_frame_output = None
+        # video visualization selection (reference: InternalAPI::
+        # setVisualization, internal.hpp:287 + VisualizationMode:66-81)
+        self._visualization = 0  # VisualizationMode.NONE
+        self._last_images: tuple = (None, None)
         self._threshold_warned = 0.01
         self._frame_count = 0
 
@@ -389,6 +393,7 @@ class VioApi:
         # raw per-frame output for visualization taps (reference: TaggedFrame
         # payload threaded to the views, odometry/tagged_frame.hpp:33-71)
         self.last_frame_output = out
+        self._last_images = (image, second)
         if self.vu_stats.enabled:
             self.vu_stats.count_from_output(out.point_cloud_status)
             line = self.vu_stats.finish_frame()
@@ -492,6 +497,70 @@ class VioApi:
                 backend=self._state.backend._replace(
                     ekf=_cp(self._state.backend.ekf,
                             self.params.odometry.cameraTrailLength)))
+
+    def set_visualization(self, mode) -> None:
+        """Select the per-frame video visualization (reference:
+        InternalAPI::setVisualization, internal.hpp:287; modes
+        internal.hpp:66-81 = api.visualizations.VisualizationMode)."""
+        from .visualizations import VisualizationMode
+
+        self._visualization = VisualizationMode(int(mode))
+
+    def render_visualization(self, mode=None, epipolar_select="TRACKED"):
+        """Raster for the selected (or given) VisualizationMode from the last
+        processed frame's tagged payload (reference: the TaggedFrame-fed
+        visualization path, api.cpp getVisualization + visualizations.cpp).
+        Returns an (H, W, 3) float RGB array, or None when mode is NONE or no
+        frame has been processed yet."""
+        import numpy as _np
+
+        from .visualizations import (VisualizationMode,
+                                     render_video_visualization)
+
+        mode = VisualizationMode(int(self._visualization if mode is None
+                                     else mode))
+        fo = self.last_frame_output
+        gray, second = self._last_images
+        if mode == VisualizationMode.NONE or gray is None:
+            return None
+        kw = {}
+        if fo is not None:
+            px = _np.asarray(fo.track_pixels)
+            kw.update(
+                track_pixels=px[:, 0, :],
+                track_prev_pixels=_np.asarray(fo.track_prev_pixels)[:, 0, :],
+                track_status=_np.asarray(fo.track_status),
+                track_valid=_np.asarray(fo.track_ids) >= 0,
+                stereo_pixels=px[:, 1, :] if px.shape[1] > 1 else None,
+            )
+        if len(self.cameras) > 1:
+            i2c0 = _np.asarray(self.derived.imu_to_camera, _np.float64)
+            i2c1 = _np.asarray(self.derived.second_imu_to_camera, _np.float64)
+            kw.update(cam_first=self.cameras[0], cam_second=self.cameras[1],
+                      T10=i2c1 @ _np.linalg.inv(i2c0))
+        if mode in (VisualizationMode.STEREO_DISPARITY,
+                    VisualizationMode.STEREO_DEPTH) and second is not None:
+            # disparity runs on the RECTIFIED pair (reference: requires
+            # -useRectification; stereo_disparity.cpp operates post-rectify)
+            import jax.numpy as _jnp
+
+            from ..frontend.rectify import build_remap, remap, stereo_rectify
+
+            if not hasattr(self, "_display_rectify"):
+                i2c0 = _np.asarray(self.derived.imu_to_camera, _np.float64)
+                i2c1 = _np.asarray(self.derived.second_imu_to_camera, _np.float64)
+                rc0, rc1, Q, _, _ = stereo_rectify(
+                    self.cameras[0], self.cameras[1], i2c0, i2c1,
+                    self.width, self.height)
+                m0 = build_remap(self.cameras[0], rc0, self.width, self.height)
+                m1 = build_remap(self.cameras[1], rc1, self.width, self.height)
+                self._display_rectify = (m0, m1, _np.asarray(Q))
+            m0, m1, Q = self._display_rectify
+            gray = _np.asarray(remap(_jnp.asarray(gray, _jnp.float32), m0))
+            second = _np.asarray(remap(_jnp.asarray(second, _jnp.float32), m1))
+            kw["Q"] = Q
+        return render_video_visualization(mode, gray, second_gray=second,
+                                  epipolar_select=epipolar_select, **kw)
 
     def reset(self, keep_pose: bool = False, t: Optional[float] = None) -> None:
         """(reference: Control::reset)"""

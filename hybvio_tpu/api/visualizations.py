@@ -9,9 +9,32 @@ from the EKF covariance.
 """
 from __future__ import annotations
 
+from enum import IntEnum
 from typing import Dict, Iterable, List, Optional, Tuple
 
 import numpy as np
+
+
+class VisualizationMode(IntEnum):
+    """Video visualization modes (reference: api::InternalAPI::
+    VisualizationMode, src/api/internal.hpp:66-81 — same names and values;
+    9 is unused there too). PROCESSED_VIDEO differs from PLAIN_VIDEO only in
+    output timing (delayed until the odometry processed the frame), which in
+    this API is the caller's choice of tap; the raster is the same."""
+    NONE = 0
+    PLAIN_VIDEO = 1
+    TRACKER_ONLY = 2
+    TRACKS = 3
+    DEBUG_VISUALIZATION = 4
+    PROCESSED_VIDEO = 5
+    OPTICAL_FLOW = 6
+    OPTICAL_FLOW_FAILURES = 7
+    TRACKS_ALL = 8
+    CORNER_MEASURE = 10
+    STEREO_MATCHING = 11
+    STEREO_EPIPOLAR = 12
+    STEREO_DISPARITY = 13
+    STEREO_DEPTH = 14
 
 # simple color palette (RGB float)
 COLORS = {
@@ -108,6 +131,194 @@ def render_video_overlay(gray, track_pixels, track_valid, track_trails=None,
             if p[0] >= 0:
                 draw_circle(img, p[0], p[1], 2, COLORS["slam"], filled=True)
     return img
+
+
+def _heat_colormap(v: np.ndarray) -> np.ndarray:
+    """Map values in [0,1] to a blue->green->red heat ramp (float RGB)."""
+    v = np.clip(np.asarray(v, np.float32), 0.0, 1.0)
+    r = np.clip(2.0 * v - 1.0, 0, 1)
+    g = 1.0 - np.abs(2.0 * v - 1.0)
+    b = np.clip(1.0 - 2.0 * v, 0, 1)
+    return np.stack([r, g, b], axis=-1)
+
+
+def render_corner_measure(gray, block_size: int = 3) -> np.ndarray:
+    """CORNER_MEASURE visualization: per-pixel Shi-Tomasi min-eigenvalue
+    response heatmap (reference: -displayCornerMeasure,
+    cmd_parameter_definitions.json 'show tracker corner measure for each
+    pixel'; drawn by api_visualization_helpers.cpp via the tracker's GFTT
+    response). Uses the SAME response kernel the detector runs."""
+    import jax.numpy as jnp
+
+    from ..frontend.gftt import corner_response
+
+    resp = np.asarray(corner_response(jnp.asarray(gray, jnp.float32),
+                                      block_size=block_size))
+    hi = float(np.percentile(resp, 99.5))
+    v = resp / max(hi, 1e-12)
+    # blend heat over dim video so structure stays visible
+    return 0.35 * to_rgb(gray) + 0.65 * _heat_colormap(v)
+
+
+def render_stereo_disparity(left, right, max_disparity: Optional[int] = None,
+                            Q: Optional[np.ndarray] = None,
+                            depth: bool = False) -> np.ndarray:
+    """STEREO_DISPARITY / STEREO_DEPTH visualization (reference:
+    -displayStereoDisparity / -displayStereoDepth, computed with OpenCV
+    there; here with the native SAD block-matching path the pipeline's
+    depth attach uses, frontend/disparity.py). depth=True requires Q and
+    renders inverse depth (near = hot)."""
+    import jax.numpy as jnp
+
+    from ..frontend.disparity import (
+        compute_disparity, default_max_disparity, disparity_to_depth)
+
+    left = np.asarray(left, np.float32)
+    md = max_disparity or default_max_disparity(left.shape[1])
+    disp, valid = compute_disparity(jnp.asarray(left), jnp.asarray(right, jnp.float32), md)
+    disp = np.asarray(disp)
+    valid = np.asarray(valid)
+    if depth:
+        if Q is None:
+            raise ValueError("depth rendering needs the rectification Q matrix")
+        z, zvalid = disparity_to_depth(jnp.asarray(disp), jnp.asarray(valid),
+                                       jnp.asarray(np.asarray(Q, np.float32)))
+        z = np.asarray(z)
+        valid = valid & np.asarray(zvalid) & (z > 1e-3)
+        v = np.where(valid, 1.0 / np.maximum(z, 1e-3), 0.0)
+        v = v / max(float(np.percentile(v[valid], 99.0)) if valid.any() else 1.0, 1e-9)
+    else:
+        v = disp / max(md, 1)
+    img = _heat_colormap(v)
+    img[~valid] = 0.0
+    return img
+
+
+def render_stereo_matching(gray, px_left, px_right, track_status=None) -> np.ndarray:
+    """STEREO_MATCHING visualization: left->right match segments with both
+    endpoints (reference: -displayStereoMatching,
+    api_visualization_helpers.cpp stereo overlay)."""
+    img = to_rgb(gray)
+    pl = np.asarray(px_left)
+    pr = np.asarray(px_right)
+    status = (np.asarray(track_status) if track_status is not None
+              else np.zeros(len(pl), np.int32))
+    for i in np.where(status == 0)[0]:
+        draw_line(img, pl[i, 0], pl[i, 1], pr[i, 0], pr[i, 1], COLORS["slam"])
+        draw_circle(img, pl[i, 0], pl[i, 1], 3, COLORS["track"])
+        draw_circle(img, pr[i, 0], pr[i, 1], 2, COLORS["corner"])
+    return img
+
+
+def render_epipolar_curves(gray_second, cam_first, cam_second, T10: np.ndarray,
+                           px_first, track_status=None, select: str = "TRACKED",
+                           depths: Optional[np.ndarray] = None) -> np.ndarray:
+    """STEREO_EPIPOLAR visualization: for each selected left-camera feature,
+    the locus of its possible right-camera locations over depth — the
+    epipolar CURVE through the distortion model, not a pinhole line
+    (reference: -displayStereoEpipolarCurves options NONE/TRACKED/DETECTED/
+    FAILED; 'feature location prediction based on epipolar geometry').
+
+    T10: (4,4) cam0->cam1 transform. depths: sampled depths along the ray
+    (default log-spaced 0.3..60 m)."""
+    import jax.numpy as jnp
+
+    from ..geometry.cameras import pixel_to_ray, ray_to_pixel
+
+    img = to_rgb(gray_second)
+    px = np.asarray(px_first, np.float32)
+    status = (np.asarray(track_status) if track_status is not None
+              else np.zeros(len(px), np.int32))
+    want = {"TRACKED": status == 0, "DETECTED": status == 1,
+            "FAILED": (status >= 2) & (status <= 6)}.get(select, status == 0)
+    sel = np.where(want)[0]
+    if sel.size == 0:
+        return img
+    if depths is None:
+        depths = np.geomspace(0.3, 60.0, 24).astype(np.float32)
+    T10 = np.asarray(T10, np.float32)
+    rays, rvalid = pixel_to_ray(cam_first, jnp.asarray(px[sel]))
+    rays, rvalid = np.asarray(rays), np.asarray(rvalid)  # (S,3), (S,)
+    # points along each ray at the sampled depths, moved into cam1
+    P0 = rays[:, None, :] * depths[None, :, None]  # (S, D, 3)
+    P1 = P0 @ T10[:3, :3].T + T10[:3, 3]
+    pix, pvalid = ray_to_pixel(cam_second, jnp.asarray(P1.reshape(-1, 3)))
+    pts = np.asarray(pix).reshape(len(sel), len(depths), 2)
+    ok = (np.isfinite(pts).all(-1)
+          & np.asarray(pvalid).reshape(len(sel), len(depths))
+          & rvalid[:, None])
+    for s in range(len(sel)):
+        c = STATUS_COLORS.get(int(status[sel[s]]), COLORS["corner"])
+        for d in range(len(depths) - 1):
+            if ok[s, d] and ok[s, d + 1]:
+                draw_line(img, pts[s, d, 0], pts[s, d, 1],
+                          pts[s, d + 1, 0], pts[s, d + 1, 1], c)
+    return img
+
+
+def render_video_visualization(
+    mode: VisualizationMode,
+    gray,
+    second_gray=None,
+    track_pixels=None,
+    track_prev_pixels=None,
+    track_status=None,
+    track_valid=None,
+    stereo_pixels=None,
+    slam_points_px=None,
+    cam_first=None,
+    cam_second=None,
+    T10=None,
+    Q=None,
+    epipolar_select: str = "TRACKED",
+) -> Optional[np.ndarray]:
+    """Single entry point over every reference VisualizationMode (reference:
+    InternalAPI::setVisualization + api_visualization_helpers.cpp dispatch).
+    Returns None for NONE. Track arrays are the tagged-frame payload
+    (FrameOutput.track_*); stereo modes additionally need the second image
+    and (for EPIPOLAR/DEPTH) cameras/extrinsics/Q."""
+    M = VisualizationMode
+    mode = M(mode)
+    if mode == M.NONE:
+        return None
+    if mode in (M.PLAIN_VIDEO, M.PROCESSED_VIDEO):
+        return to_rgb(gray)
+    if mode == M.CORNER_MEASURE:
+        return render_corner_measure(gray)
+    if mode == M.STEREO_DISPARITY or mode == M.STEREO_DEPTH:
+        if second_gray is None:
+            return to_rgb(gray)
+        return render_stereo_disparity(gray, second_gray, Q=Q,
+                                       depth=(mode == M.STEREO_DEPTH
+                                              and Q is not None))
+    if mode == M.STEREO_MATCHING:
+        if stereo_pixels is None:
+            return to_rgb(gray)
+        return render_stereo_matching(gray, track_pixels, stereo_pixels,
+                                      track_status)
+    if mode == M.STEREO_EPIPOLAR:
+        if cam_first is None or cam_second is None or T10 is None:
+            return to_rgb(gray)
+        return render_epipolar_curves(
+            second_gray if second_gray is not None else gray,
+            cam_first, cam_second, T10, track_pixels, track_status,
+            select=epipolar_select)
+    status = None if track_status is None else np.asarray(track_status)
+    if mode == M.OPTICAL_FLOW_FAILURES and status is not None:
+        keep = (status >= 2) & (status <= 6)
+        status = np.where(keep, status, -1)
+    flow = track_prev_pixels if mode in (M.OPTICAL_FLOW, M.OPTICAL_FLOW_FAILURES,
+                                         M.DEBUG_VISUALIZATION, M.TRACKS_ALL) else None
+    valid = (np.asarray(track_valid) if track_valid is not None
+             else (status is not None) & (status == 0))
+    if mode == M.TRACKER_ONLY:
+        # corners only, no odometry-side payload
+        return render_video_overlay(gray, track_pixels, valid)
+    return render_video_overlay(
+        gray, track_pixels, valid,
+        flow_prev=flow, track_status=status,
+        stereo_pixels=stereo_pixels if mode == M.DEBUG_VISUALIZATION else None,
+        slam_points_px=slam_points_px)
 
 
 def render_pose_plot(histories: Dict[str, np.ndarray], size: int = 512,

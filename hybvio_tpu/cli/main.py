@@ -47,6 +47,15 @@ def find_frame_source_path(dataset_dir: str) -> Optional[str]:
 def run(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
 
+    # platform pin (HYBVIO_PLATFORM=cpu|tpu|...): this environment's
+    # sitecustomize forces jax_platforms to the remote-TPU plugin in every
+    # process; jax.config.update after import (before first backend use)
+    # overrides it, e.g. to keep a run local while the TPU is busy
+    if os.environ.get("HYBVIO_PLATFORM"):
+        import jax
+
+        jax.config.update("jax_platforms", os.environ["HYBVIO_PLATFORM"])
+
     from ..config import Parameters
     from ..config.loader import apply_argv, apply_calibration_json, apply_parameters_text, apply_yaml
     from ..io import jsonl as jio
@@ -299,32 +308,47 @@ def run(argv=None) -> int:
 
         k = n_out[0] - 1
         fo = api.last_frame_output
-        if {"displayVideo", "displayPlainVideo", "displayTracks",
-                "displayTracksAll", "displayOpticalFlow"} & display_on \
-                and last_img[0] is not None:
-            img = last_img[0]
-            if "displayPlainVideo" in display_on or fo is None:
-                frame = np.asarray(img)[..., None].repeat(3, -1)
-            else:
-                # tagged-frame payload (reference: TaggedFrame flowCorners/
-                # flowStatus, odometry/tagged_frame.hpp:48-58): per-slot flow
-                # vectors + status coloring; stereo match segments when
-                # available
-                px = np.asarray(fo.track_pixels)[:, 0, :]
-                status = np.asarray(fo.track_status)
-                prev = np.asarray(fo.track_prev_pixels)[:, 0, :]
-                valid = np.asarray(fo.track_ids) >= 0
-                want_flow = "displayOpticalFlow" in display_on \
-                    or "displayTracksAll" in display_on
-                stereo_px = None
-                if fo.track_pixels.shape[1] > 1 and want_flow:
-                    stereo_px = np.asarray(fo.track_pixels)[:, 1, :]
-                frame = vz.render_video_overlay(
-                    np.asarray(img), px, valid,
-                    flow_prev=prev if want_flow else None,
-                    track_status=status,
-                    stereo_pixels=stereo_px)
-            save_vis(f"video_{k:06d}", frame)
+        # video flag -> VisualizationMode (reference: main.cpp maps the
+        # display cmd params onto InternalAPI::setVisualization modes,
+        # internal.hpp:66-81); one raster per active flag
+        M = vz.VisualizationMode
+        video_modes = []
+        if "displayVideo" in display_on:
+            video_modes.append(("video", M.PLAIN_VIDEO if fo is None
+                                else M.DEBUG_VISUALIZATION))
+        if "displayPlainVideo" in display_on:
+            video_modes.append(("video", M.PLAIN_VIDEO))
+        if "displayTracks" in display_on and fo is not None:
+            video_modes.append(("tracks", M.TRACKS))
+        if "displayTracksAll" in display_on and fo is not None:
+            video_modes.append(("tracks_all", M.TRACKS_ALL))
+        flow_opt = (main_flags.get("displayOpticalFlow") or "NONE").upper()
+        if flow_opt not in ("NONE", "FALSE") and fo is not None:
+            video_modes.append(("flow", M.OPTICAL_FLOW_FAILURES
+                                if flow_opt == "FAILURES" else M.OPTICAL_FLOW))
+        if "displayCornerMeasure" in display_on:
+            video_modes.append(("corner", M.CORNER_MEASURE))
+        if "displayStereoMatching" in display_on and fo is not None:
+            video_modes.append(("stereo_match", M.STEREO_MATCHING))
+        epi_opt = (main_flags.get("displayStereoEpipolarCurves") or "NONE").upper()
+        if epi_opt not in ("NONE", "FALSE") and fo is not None:
+            video_modes.append(("epipolar", M.STEREO_EPIPOLAR))
+        if "displayStereoDisparity" in display_on:
+            video_modes.append(("disparity", M.STEREO_DISPARITY))
+        if "displayStereoDepth" in display_on:
+            video_modes.append(("depth", M.STEREO_DEPTH))
+        seen = set()
+        for name, mode in video_modes:
+            if name in seen or last_img[0] is None:
+                continue
+            seen.add(name)
+            try:
+                frame = api.render_visualization(mode)
+            except Exception as e:
+                print(f"visualization {name} failed: {e}", file=sys.stderr)
+                continue
+            if frame is not None:
+                save_vis(f"{name}_{k:06d}", frame)
         if "displayPose" in display_on:
             est_positions.append([out.position[0], out.position[1],
                                   out.position[2]])

@@ -18,7 +18,11 @@ import numpy as np
 from .pyramid import box_filter, sobel_gradients
 
 
-USE_PALLAS = True  # fused kernel on TPU (ops/gftt_pallas.py); XLA elsewhere
+import os as _os
+
+# fused kernel on TPU (ops/gftt_pallas.py); XLA elsewhere. HYBVIO_NO_PALLAS=1
+# falls back to the pure-XLA paths everywhere (numerics bisection switch).
+USE_PALLAS = not _os.environ.get("HYBVIO_NO_PALLAS")
 
 
 def _greedy_select(d2, cand_ok, min_d2: float, k: int):

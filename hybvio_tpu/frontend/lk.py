@@ -62,7 +62,9 @@ def _gather_patches(img, centers, ps: int):
     cx = jnp.clip(jnp.floor(centers[:, 0]).astype(jnp.int32) - r, 0, W - ps)
     cy = jnp.clip(jnp.floor(centers[:, 1]).astype(jnp.int32) - r, 0, H - ps)
 
-    if jax.default_backend() == "tpu" and img.dtype == jnp.float32:
+    import os as _os
+    if (jax.default_backend() == "tpu" and img.dtype == jnp.float32
+            and not _os.environ.get("HYBVIO_NO_PALLAS")):
         # the kernel's (8, 128) alignment algebra is f32-tile specific
         from ..ops.patch_gather_pallas import (
             PALLAS_AVAILABLE, gather_patches_pallas,

@@ -36,7 +36,10 @@ def _sep_conv2d(img: jnp.ndarray, kx: np.ndarray, ky: np.ndarray) -> jnp.ndarray
     return x
 
 
-USE_PALLAS = True  # fused kernels on TPU (ops/pyramid_pallas.py)
+import os as _os
+
+# fused kernels on TPU (ops/pyramid_pallas.py); HYBVIO_NO_PALLAS=1 -> XLA path
+USE_PALLAS = not _os.environ.get("HYBVIO_NO_PALLAS")
 
 
 def _pallas_ok(img) -> bool:

@@ -231,6 +231,8 @@ def test_cli_recording_pointcloud_visu_resize(dataset, tmp_path):
     rc = run([f"-inputPath={dataset}", f"-outputPath={out_path}",
               f"-recordingPath={rec}", f"-pc={pc}",
               "-displayPose", "-displayCovarianceMagnitude",
+              "-displayVideo", "-displayCornerMeasure",
+              "-displayOpticalFlow=FAILURES",
               f"-visualizationPath={vis}", "-visuUpdateInterval=5",
               "-targetFrameWidth=240", "-frames=20",
               "-visualR=0.3", "-cameraTrailLength=6", "-maxTracks=32",
@@ -250,6 +252,10 @@ def test_cli_recording_pointcloud_visu_resize(dataset, tmp_path):
     vfiles = sorted(os.listdir(vis))
     assert any(f.startswith("pose_") for f in vfiles)
     assert any(f.startswith("cov_") for f in vfiles)
+    # video visualization modes (reference: VisualizationMode dispatch)
+    assert any(f.startswith("video_") for f in vfiles)
+    assert any(f.startswith("corner_") for f in vfiles)
+    assert any(f.startswith("flow_") for f in vfiles)
     # resized: scaled focal length must produce a sane trajectory scale
     est = np.array([[json.loads(l)["position"][k] for k in "xyz"]
                     for l in open(out_path)])

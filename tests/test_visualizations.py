@@ -77,3 +77,71 @@ def test_video_overlay_flow_status():
     assert (seg3[..., 2] > 0.9).any()
     # empty slot (-1) drew nothing at its corner
     assert (img[18:23, 0:4] <= 0.21).all()
+
+def test_visualization_mode_dispatch():
+    """All 14 reference VisualizationModes render (or return None for NONE)
+    from the same tagged-frame payload (reference: InternalAPI::
+    VisualizationMode, internal.hpp:66-81)."""
+    import jax.numpy as jnp
+
+    from hybvio_tpu.api.visualizations import (
+        VisualizationMode as M, render_video_visualization)
+    from hybvio_tpu.frontend.rectify import stereo_rectify
+    from hybvio_tpu.geometry.cameras import build_pinhole
+
+    rng = np.random.RandomState(3)
+    H, W = 96, 128
+    g = rng.rand(H, W).astype(np.float32) * 0.5
+    g2 = np.roll(g, -4, axis=1)  # crude stereo shift
+    px = np.array([[40.0, 50.0], [100.0, 80.0], [20.0, 20.0]])
+    prev = px - np.array([6.0, 2.0])
+    stereo = px + np.array([18.0, 0.0])
+    status = np.array([0, 3, 1], np.int32)
+    valid = status == 0
+    cam = build_pinhole(100.0, 100.0, W / 2, H / 2, width=W, height=H,
+                        dtype=jnp.float32)
+    i2c0 = np.eye(4)
+    i2c1 = np.eye(4); i2c1[0, 3] = -0.1
+    _, _, Q, _, _ = stereo_rectify(cam, cam, i2c0, i2c1, W, H)
+    T10 = i2c1 @ np.linalg.inv(i2c0)
+
+    assert render_video_visualization(M.NONE, g) is None
+    for mode in (M.PLAIN_VIDEO, M.PROCESSED_VIDEO, M.TRACKER_ONLY, M.TRACKS,
+                 M.DEBUG_VISUALIZATION, M.OPTICAL_FLOW,
+                 M.OPTICAL_FLOW_FAILURES, M.TRACKS_ALL, M.CORNER_MEASURE,
+                 M.STEREO_MATCHING, M.STEREO_EPIPOLAR, M.STEREO_DISPARITY,
+                 M.STEREO_DEPTH):
+        img = render_video_visualization(
+            mode, g, second_gray=g2, track_pixels=px, track_prev_pixels=prev,
+            track_status=status, track_valid=valid, stereo_pixels=stereo,
+            cam_first=cam, cam_second=cam, T10=T10,
+            Q=np.asarray(Q))
+        assert img is not None and img.shape == (H, W, 3), mode
+        assert np.isfinite(img).all(), mode
+
+
+def test_epipolar_curves_hit_true_match():
+    """The epipolar curve for a left feature must pass near the true right-
+    camera projection of the 3D point (geometry sanity, not just raster)."""
+    import jax.numpy as jnp
+
+    from hybvio_tpu.api.visualizations import render_epipolar_curves
+    from hybvio_tpu.geometry.cameras import build_pinhole, ray_to_pixel
+
+    H, W = 120, 160
+    cam = build_pinhole(120.0, 120.0, W / 2, H / 2, width=W, height=H,
+                        dtype=jnp.float32)
+    T10 = np.eye(4); T10[0, 3] = -0.12  # right camera 12 cm to the +x of left
+    X = np.array([0.3, -0.1, 4.0])  # point in left cam coords
+    pl, _ = ray_to_pixel(cam, jnp.asarray(X / np.linalg.norm(X), jnp.float32))
+    Xr = T10[:3, :3] @ X + T10[:3, 3]
+    pr, _ = ray_to_pixel(cam, jnp.asarray(Xr / np.linalg.norm(Xr), jnp.float32))
+    pl, pr = np.asarray(pl), np.asarray(pr)
+
+    g = np.zeros((H, W), np.float32)
+    img = render_epipolar_curves(g, cam, cam, T10, pl[None, :],
+                                 track_status=np.array([0], np.int32))
+    # something was drawn, and near the true right-camera match
+    y, x = int(round(pr[1])), int(round(pr[0]))
+    patch = img[max(y - 2, 0):y + 3, max(x - 2, 0):x + 3]
+    assert patch.max() > 0.5, (pr, patch.max())
