@@ -354,12 +354,14 @@ def run_batched(p, derived, cams, seq, frames, F, B, dtype, config):
     }
     if os.environ.get("BENCH_TEXTURED", "1") != "0":
         # realistic-imagery accuracy evidence alongside the throughput
-        # headline: full mono VIO on the ray-cast textured world (occlusion,
+        # headline: full VIO on the ray-cast textured world (occlusion,
         # exposure jitter, noise, motion blur) — the same probe the test
-        # suite bounds at <0.15 m (tests/test_textured.py)
+        # suite bounds (tests/test_textured.py); stereo configs run the
+        # STEREO probe (the BASELINE headline family)
         from hybvio_tpu.eval.textured_probe import run_textured_probe
 
-        result["extra"]["textured_world"] = run_textured_probe(duration=6.0)
+        result["extra"]["textured_world"] = run_textured_probe(
+            duration=6.0, stereo=(config == "stereo"))
     print(_json.dumps(result))
 
 

@@ -39,11 +39,22 @@ def textured_accuracy_params(width: int = 320, height: int = 240,
     return p
 
 
+def _stereo_second_extrinsic(baseline_m: float = 0.11) -> np.ndarray:
+    """Second-camera imu_to_camera with an EuRoC-like horizontal baseline."""
+    from ..io.synthetic import SYNTH_IMU_TO_CAMERA
+
+    second = np.asarray(SYNTH_IMU_TO_CAMERA).copy()
+    second[0, 3] = -baseline_m
+    return second
+
+
 def run_textured_probe(duration: float = 6.0, seed: int = 8,
                        width: int = 320, height: int = 240,
-                       fx: float = 260.0, dtype=None) -> dict:
-    """Run mono VIO end-to-end on the textured world; return a result dict
-    {"ate_rmse_m", "frames", "finite"}.  Deterministic for a given seed.
+                       fx: float = 260.0, dtype=None,
+                       stereo: bool = False) -> dict:
+    """Run mono (or stereo) VIO end-to-end on the textured world; return a
+    result dict {"ate_rmse_m", "frames", "finite"}. Deterministic for a
+    given seed.
 
     Matmul precision is pinned to 'highest' (the EKF production/bench mode,
     bench.py) so the result does not depend on ambient jax config: the ATE
@@ -63,10 +74,10 @@ def run_textured_probe(duration: float = 6.0, seed: int = 8,
 
     dtype = dtype or jnp.float32
     with jax.default_matmul_precision("highest"):
-        return _run(duration, seed, width, height, fx, dtype)
+        return _run(duration, seed, width, height, fx, dtype, stereo)
 
 
-def _run(duration, seed, width, height, fx, dtype) -> dict:
+def _run(duration, seed, width, height, fx, dtype, stereo=False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -79,9 +90,14 @@ def _run(duration, seed, width, height, fx, dtype) -> dict:
     from ..odometry.vio import make_vio
 
     p = textured_accuracy_params(width, height, fx)
+    if stereo:
+        p.tracker.useStereo = True
+        p.odometry.secondImuToCameraMatrix = tuple(
+            _stereo_second_extrinsic().T.flatten())
     derived = DerivedParameters.from_parameters(p)
     cam = build_pinhole(fx, fx, width / 2, height / 2,
                         width=width, height=height, dtype=dtype)
+    cams = (cam, cam) if stereo else (cam,)
 
     seq = generate_sequence(duration=duration, imu_rate=100.0, frame_rate=10.0,
                             gyro_noise=5e-4, acc_noise=5e-3, seed=seed,
@@ -91,13 +107,27 @@ def _run(duration, seed, width, height, fx, dtype) -> dict:
         scene, seq, SYNTH_IMU_TO_CAMERA, fx, fx, width / 2, height / 2,
         width, height, exposure_jitter=0.05, pixel_noise=0.01,
         motion_blur=True)
+    render_r = None
+    if stereo:
+        render_r = textured_frame_renderer(
+            scene, seq, _stereo_second_extrinsic(), fx, fx, width / 2,
+            height / 2, width, height, exposure_jitter=0.05,
+            pixel_noise=0.01, motion_blur=True)
 
-    init_fn, vio_step = make_vio(p, derived, (cam,),
+    def frame(fi):
+        if stereo:
+            return (jnp.asarray(render(fi), dtype),
+                    jnp.asarray(render_r(fi), dtype))
+        return (jnp.asarray(render(fi), dtype),)
+
+    init_fn, vio_step = make_vio(p, derived, cams,
                                  max_tracks=p.tracker.maxTracks, dtype=dtype)
     vio_step = jax.jit(vio_step)
 
     F = len(seq.frame_sample_idx)
-    state = init_fn(jnp.asarray(render(0), dtype), t0=float(seq.frame_times[0]))
+    f0 = frame(0)
+    state = init_fn(f0[0], t0=float(seq.frame_times[0]),
+                    second_image=f0[1] if stereo else None)
     prev = seq.frame_sample_idx[0] + 1
     S_max = int(np.max(np.diff(np.concatenate([[0], seq.frame_sample_idx + 1]))))
 
@@ -113,7 +143,7 @@ def _run(duration, seed, width, height, fx, dtype) -> dict:
         batch = ImuBatch(jnp.asarray(t, dtype), jnp.asarray(g, dtype),
                          jnp.asarray(a, dtype), jnp.asarray(valid))
         prev = k
-        state, out = vio_step(state, batch, jnp.asarray(render(fi), dtype))
+        state, out = vio_step(state, batch, *frame(fi))
         est.append(np.asarray(out.position))
 
     est = np.stack(est)
