@@ -404,3 +404,77 @@ def render_imu_plot(gyro_samples: np.ndarray, acc_samples: np.ndarray,
                 draw_line(img, xs[i], ys[i], xs[i + 1], ys[i + 1], colors[axis])
         img[y0, :, :] = 0.25
     return img
+
+
+# ---- SLAM keyframe / ORB debug viewers (reference: cmd slam group
+# -displayKeyframe / -visualizeOrbMatching / -visualizeLoopOrbMatching /
+# -visualizeOrbPyramid / -visualizeOrbs / -visualizeMapPointSearch; drawn in
+# Pangolin windows there, rasters here) ----
+
+def render_orb_keypoints(thumb: np.ndarray, pix_pts, valid=None,
+                         scale: float = 0.5) -> np.ndarray:
+    """KEYFRAME / ORBS view: descriptor sample points on the keyframe thumb
+    (pix_pts are full-resolution pixels; thumb is the stored half-res)."""
+    img = to_rgb(thumb)
+    pts = np.asarray(pix_pts) * scale
+    ok = (np.asarray(valid) if valid is not None
+          else np.ones(len(pts), bool))
+    for i in np.where(ok)[0]:
+        draw_circle(img, pts[i, 0], pts[i, 1], 3, COLORS["corner"])
+    return img
+
+
+def render_orb_pyramid(thumb: np.ndarray, levels: int = 3) -> np.ndarray:
+    """ORB_PYRAMID view: the keyframe's downscale pyramid side by side."""
+    H, W = thumb.shape
+    canvas = np.zeros((H, W + W // 2 + 8, 3), np.float32)
+    canvas[:H, :W] = to_rgb(thumb)
+    x = W + 4
+    img = thumb
+    for _ in range(1, levels):
+        img = 0.25 * (img[0::2, 0::2] + img[1::2, 0::2]
+                      + img[0::2, 1::2] + img[1::2, 1::2])
+        h, w = img.shape
+        canvas[:h, x:x + w] = to_rgb(img)
+        x += 4  # overlap levels diagonally is not needed; stack at same x
+        canvas[h + 2:h + 3, W + 2:] = 0.25
+    return canvas
+
+
+def render_orb_matches(thumb_a: np.ndarray, pts_a, thumb_b: np.ndarray,
+                       pts_b, matches, scale: float = 0.5,
+                       color=None) -> np.ndarray:
+    """ORB matching view: keyframes side by side with match lines
+    (reference: visualizeOrbMatching / visualizeLoopOrbMatching windows)."""
+    Ha, Wa = thumb_a.shape
+    Hb, Wb = thumb_b.shape
+    H = max(Ha, Hb)
+    canvas = np.zeros((H, Wa + Wb, 3), np.float32)
+    canvas[:Ha, :Wa] = to_rgb(thumb_a)
+    canvas[:Hb, Wa:Wa + Wb] = to_rgb(thumb_b)
+    pa = np.asarray(pts_a) * scale
+    pb = np.asarray(pts_b) * scale
+    c = color or COLORS["track"]
+    for i, j in matches:
+        if i >= len(pa) or j >= len(pb):
+            continue
+        x0, y0 = pa[i]
+        x1, y1 = pb[j]
+        draw_line(canvas, x0, y0, Wa + x1, y1, c)
+        draw_circle(canvas, x0, y0, 2, COLORS["corner"])
+        draw_circle(canvas, Wa + x1, y1, 2, COLORS["corner"])
+    return canvas
+
+
+def render_map_point_search(thumb: np.ndarray, proj_pts, obs_pts=None,
+                            scale: float = 0.5) -> np.ndarray:
+    """MAP_POINT_SEARCH view: map points projected into the keyframe
+    (blue) vs its own observations (green)."""
+    img = to_rgb(thumb)
+    for p in np.asarray(proj_pts) * scale:
+        if np.isfinite(p).all():
+            draw_circle(img, p[0], p[1], 2, COLORS["slam"], filled=True)
+    if obs_pts is not None:
+        for p in np.asarray(obs_pts) * scale:
+            draw_circle(img, p[0], p[1], 3, COLORS["track"])
+    return img

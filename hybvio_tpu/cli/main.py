@@ -44,6 +44,62 @@ def find_frame_source_path(dataset_dir: str) -> Optional[str]:
     return None
 
 
+def _write_slam_visualizations(slam, slam_viz_on, save_vis, last_kf_seen):
+    """Raster the SLAM debug viewers for the newest keyframe (reference:
+    cmd slam group -displayKeyframe/-visualizeOrb*/-visualizeMapPointSearch,
+    Pangolin windows there). The SLAM worker thread appends keyframes; reads
+    here are tolerant of concurrent growth."""
+    from ..api import visualizations as vz
+
+    try:
+        if not slam.kf_order:
+            return
+        # each view advances independently: the SLAM worker appends the
+        # keyframe first and computes matches a little later, so gating all
+        # views on "new keyframe" would always render the match views one
+        # step stale/empty
+        kf_id = slam.kf_order[-1]
+        kf = slam.keyframes.get(kf_id)
+        if kf is not None and kf.thumb is not None \
+                and kf_id != last_kf_seen.get("kf"):
+            last_kf_seen["kf"] = kf_id
+            tag = f"{kf_id:05d}"
+            if "displayKeyframe" in slam_viz_on or "visualizeOrbs" in slam_viz_on:
+                save_vis(f"keyframe_{tag}", vz.render_orb_keypoints(
+                    kf.thumb, kf.pix_pts, kf.desc_valid))
+            if "visualizeOrbPyramid" in slam_viz_on:
+                save_vis(f"orb_pyramid_{tag}", vz.render_orb_pyramid(kf.thumb))
+            if "visualizeMapPointSearch" in slam_viz_on:
+                proj, obs = slam.map_points_in_keyframe(kf_id)
+                save_vis(f"map_search_{tag}", vz.render_map_point_search(
+                    kf.thumb, proj, obs))
+        lam = slam.last_adjacent_matches
+        if ("visualizeOrbMatching" in slam_viz_on and lam is not None
+                and lam[0] != last_kf_seen.get("match")):
+            ka, kb, pairs = lam
+            a, b = slam.keyframes.get(ka), slam.keyframes.get(kb)
+            if a is not None and b is not None and a.thumb is not None \
+                    and b.thumb is not None:
+                last_kf_seen["match"] = ka
+                save_vis(f"orb_match_{ka:05d}", vz.render_orb_matches(
+                    a.thumb, a.pix_pts, b.thumb, b.pix_pts, pairs))
+        if "visualizeLoopOrbMatching" in slam_viz_on and slam.loop_events:
+            ev = slam.loop_events[-1]
+            if ev.matches and ev.kf_id != last_kf_seen.get("loop"):
+                a = slam.keyframes.get(ev.kf_id)
+                b = slam.keyframes.get(ev.matched_kf_id)
+                if a is not None and b is not None and a.thumb is not None \
+                        and b.thumb is not None:
+                    last_kf_seen["loop"] = ev.kf_id
+                    save_vis(f"loop_match_{ev.kf_id:05d}", vz.render_orb_matches(
+                        a.thumb, a.pix_pts, b.thumb, b.pix_pts, ev.matches,
+                        color=(1.0, 0.4, 0.1)))
+    except Exception as e:
+        import sys as _sys
+
+        print(f"slam visualization failed: {e}", file=_sys.stderr)
+
+
 def run(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
 
@@ -275,6 +331,18 @@ def run(argv=None) -> int:
     vis_every = max(1, int(main_flags.get("visuUpdateInterval", "1") or 1))
     display_on = {k for k in _DISPLAY_KEYS
                   if main_flags.get(k) not in (None, "false", "NONE")}
+    # SLAM debug viewers (reference: cmd slam group Pangolin windows) —
+    # rendered as rasters per new keyframe when -useSlam is active
+    slam_viz_on = {k for k in ("displayKeyframe", "visualizeOrbMatching",
+                               "visualizeLoopOrbMatching",
+                               "visualizeOrbPyramid", "visualizeOrbs",
+                               "visualizeMapPointSearch")
+                   if main_flags.get(k) not in (None, "false")}
+    if slam_viz_on:
+        display_on = display_on | {"__slam__"}
+        if api.slam is not None:
+            # keep half-res keyframe images + ORB pixel positions for viewers
+            api.slam.slam.store_keyframe_images = True
     if display_on and vis_dir:
         os.makedirs(vis_dir, exist_ok=True)
     elif display_on:
@@ -282,6 +350,7 @@ def run(argv=None) -> int:
               "-visualizationPath=<dir> to write visualization frames",
               file=sys.stderr)
     last_img = [None]
+    last_kf_seen = {}
     est_positions = []
 
     def save_vis(name, frame):
@@ -363,6 +432,9 @@ def run(argv=None) -> int:
         if "displayCorrelation" in display_on and api._state is not None:
             P = np.asarray(api._state.backend.ekf.P)
             save_vis(f"corr_{k:06d}", vz.render_correlation(P))
+        if slam_viz_on and api.slam is not None:
+            _write_slam_visualizations(api.slam.slam, slam_viz_on, save_vis,
+                                       last_kf_seen)
 
     def on_output(out):
         n_out[0] += 1
@@ -478,6 +550,11 @@ def run(argv=None) -> int:
                 break
 
     api.finish(slam_map_poses_path=main_flags.get("slamMapPosesPath"))
+    if slam_viz_on and vis_dir and api.slam is not None:
+        # final flush: capture matches/loops the worker computed after the
+        # last output's render pass
+        _write_slam_visualizations(api.slam.slam, slam_viz_on, save_vis,
+                                   last_kf_seen)
     elapsed = time.time() - t_start
     if out_file:
         out_file.close()

@@ -76,6 +76,11 @@ class KeyFrame:
     norm_pts: np.ndarray  # (F, 2) normalized image points
     descriptors: Optional[np.ndarray] = None  # (F, 256) +/-1
     desc_valid: Optional[np.ndarray] = None  # (F,)
+    # debug-visualization payload, stored only when Slam.store_keyframe_images
+    # (reference: the Pangolin keyframe/ORB viewers keep a frame buffer,
+    # cmd slam group visualizeOrb*/displayKeyframe)
+    thumb: Optional[np.ndarray] = None  # (H/2, W/2) gray
+    pix_pts: Optional[np.ndarray] = None  # (F, 2) descriptor pixel positions
 
 
 @dataclasses.dataclass
@@ -101,6 +106,7 @@ class LoopClosureEvent:
     matched_kf_id: int
     n_matches: int
     applied: bool
+    matches: Optional[list] = None  # [(i_in_kf, j_in_matched)] when viz is on
 
 
 @dataclasses.dataclass
@@ -132,6 +138,10 @@ class Slam:
         self._orb_jit = None
         self._last_kf_time = -1e18
         self._loop_seed = 0
+        # keep half-res keyframe images + descriptor pixel positions for the
+        # ORB/keyframe debug viewers (off by default: memory)
+        self.store_keyframe_images = False
+        self.last_adjacent_matches = None  # (kf_a, kf_b, [(i, j)])
 
         # BoW vocabulary database (reference: DBoW2 + vocabularyPath; ours
         # trains online and can load/save an .npy codebook)
@@ -181,6 +191,10 @@ class Slam:
             self.vocabulary.add_keyframe(kf.kf_id, kf.descriptors, kf.desc_valid)
         self._update_map_points(kf, t)
 
+        if (self.store_keyframe_images and len(self.kf_order) >= 2
+                and kf.descriptors is not None):
+            self._match_adjacent_for_viz(kf)
+
         loop = self._detect_loop_closure(kf)
         self._local_ba()
         self._cull_map_points(t)
@@ -190,6 +204,28 @@ class Slam:
             pose_cw=pose_to_mat(self.keyframes[kf.kf_id].pose),
             point_cloud=self._cloud(),
             loop_closed=loop is not None and loop.applied)
+
+    def map_points_in_keyframe(self, kf_id: int):
+        """(projected_pixels, observed_pixels) of triangulated map points in
+        a stored keyframe, for the -visualizeMapPointSearch viewer. Uses the
+        same nominal-focal pixel mapping the descriptor sampler used."""
+        kf = self.keyframes.get(kf_id)
+        if kf is None or kf.thumb is None:
+            return np.zeros((0, 2)), np.zeros((0, 2))
+        H, W = kf.thumb.shape[0] * 2, kf.thumb.shape[1] * 2
+        f = 0.5 * (H + W) / 2
+        c = np.array([W / 2, H / 2])
+        T = pose_to_mat(kf.pose)  # camera-to-world
+        R, p = T[:3, :3], T[:3, 3]
+        proj = []
+        for mp in self.points.values():
+            if not mp.triangulated:
+                continue
+            Xc = R.T @ (mp.position - p)
+            if Xc[2] > 0.1:
+                proj.append(Xc[:2] / Xc[2] * f + c)
+        obs = kf.pix_pts if kf.pix_pts is not None else np.zeros((0, 2))
+        return (np.asarray(proj) if proj else np.zeros((0, 2))), obs
 
     def end(self, map_save_path: Optional[str] = None) -> bool:
         """(reference: slam::Slam::end) final GLOBAL adjustment over all
@@ -291,6 +327,32 @@ class Slam:
         desc, ok = self._orb_jit(jnp.asarray(image, jnp.float32), jnp.asarray(ppad), jnp.asarray(vpad))
         kf.descriptors = np.asarray(desc)[:n]
         kf.desc_valid = np.asarray(ok)[:n]
+        if self.store_keyframe_images:
+            img = np.asarray(image, np.float32)
+            kf.thumb = img[::2, ::2].copy()
+            kf.pix_pts = np.asarray(pts[:n], np.float32)
+
+    def _match_adjacent_for_viz(self, kf: KeyFrame) -> None:
+        """ORB matches between the two newest keyframes, kept for the
+        -visualizeOrbMatching viewer (reference: cmd slam group; reference
+        draws per-keyframe ORB matching in a Pangolin window)."""
+        from .orb import match_descriptors
+
+        prev = self.keyframes.get(self.kf_order[-2])
+        if prev is None or prev.descriptors is None:
+            return
+        Ta, Tb = kf.descriptors.shape[0], prev.descriptors.shape[0]
+        PAD = 256
+        da = np.zeros((PAD, 256), np.float32); da[:Ta] = kf.descriptors
+        va = np.zeros(PAD, bool); va[:Ta] = kf.desc_valid
+        db = np.zeros((PAD, 256), np.float32); db[:Tb] = prev.descriptors
+        vb = np.zeros(PAD, bool); vb[:Tb] = prev.desc_valid
+        midx, _ = match_descriptors(
+            jnp.asarray(da), jnp.asarray(va), jnp.asarray(db), jnp.asarray(vb),
+            lowe_ratio=self.ps.loopClosureFeatureMatchLoweRatio)
+        midx = np.asarray(midx)[:Ta]
+        pairs = [(i, int(j)) for i, j in enumerate(midx) if 0 <= j < Tb]
+        self.last_adjacent_matches = (kf.kf_id, prev.kf_id, pairs)
 
     def _update_map_points(self, kf: KeyFrame, t: float) -> None:
         for tid, pt in zip(kf.track_ids, kf.norm_pts):
@@ -470,7 +532,9 @@ class Slam:
                 continue
 
             applied = self._verify_and_apply(kf, cand, matches)
-            ev = LoopClosureEvent(kf.kf_id, cand.kf_id, len(matches), applied)
+            ev = LoopClosureEvent(kf.kf_id, cand.kf_id, len(matches), applied,
+                                  matches=(list(matches)
+                                           if self.store_keyframe_images else None))
             self.loop_events.append(ev)
             if best_ev is None or applied:
                 best_ev = ev

@@ -326,7 +326,8 @@ def test_cli_stepmode_and_vu_stats(dataset, tmp_path, capsys):
          "-maxTracks=32", "-focalLength=260", "-principalPointX=160",
          "-principalPointY=120"],
         input="\n" * 40, capture_output=True, text=True, timeout=900,
-        cwd="/root/repo")
+        cwd="/root/repo",
+        env={**__import__("os").environ, "HYBVIO_PLATFORM": "cpu"})
     assert proc.returncode == 0, proc.stderr[-2000:]
     assert "processed 6 frames" in proc.stderr
     assert "visual update stats" in proc.stderr  # totals report printed

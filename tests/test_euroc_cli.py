@@ -26,7 +26,10 @@ def euroc_dataset(tmp_path_factory):
 def test_cli_on_euroc_layout(euroc_dataset, tmp_path):
     out_path = str(tmp_path / "out.jsonl")
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
+    # HYBVIO_PLATFORM (not JAX_PLATFORMS): the ambient sitecustomize re-forces
+    # the remote-TPU platform via jax.config, which env vars don't survive;
+    # the CLI applies this one through jax.config itself
+    env["HYBVIO_PLATFORM"] = "cpu"
     r = subprocess.run(
         [sys.executable, "-m", "hybvio_tpu.cli.main",
          f"-i={euroc_dataset}", f"-o={out_path}", "-timer",
