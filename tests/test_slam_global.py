@@ -286,3 +286,49 @@ def test_keyframe_culling_bounds_map():
     assert sizes[-1] <= sizes[-9] + 1, sizes
     # map points bounded by the number of distinct tracks
     assert len(slam.points) <= 40
+
+
+def test_keyframe_viz_storage_and_matching():
+    """store_keyframe_images keeps thumbs + ORB pixel positions and records
+    adjacent-keyframe matches + loop-event match pairs (the cmd slam group
+    viewer payload: -visualizeOrbMatching / -displayKeyframe)."""
+    import numpy as np
+
+    from hybvio_tpu.config import Parameters
+    from hybvio_tpu.io.synthetic import SYNTH_IMU_TO_CAMERA, generate_sequence
+    from hybvio_tpu.io.textured import TexturedScene, textured_frame_renderer
+    from hybvio_tpu.slam.session import Slam
+
+    p = Parameters()
+    p.slam.keyframeDecisionAlways = True
+    seq = generate_sequence(duration=3.0, imu_rate=100.0, frame_rate=10.0,
+                            seed=8, radius=2.0)
+    scene = TexturedScene(seed=8, wall_radius=6.0)
+    render = textured_frame_renderer(scene, seq, SYNTH_IMU_TO_CAMERA,
+                                     260.0, 260.0, 160.0, 120.0, 320, 240)
+    s = Slam(p)
+    s.store_keyframe_images = True
+    rng = np.random.RandomState(0)
+    F = 40
+    ids = np.arange(F)
+    pts = 0.5 * (rng.rand(F, 2) * 2 - 1)
+    for fi in range(5):
+        k = int(seq.frame_sample_idx[fi])
+        pose = np.eye(4)
+        pose[:3, 3] = seq.pos[k]
+        s.add_frame(render(fi), pose, ids, pts, float(seq.times[k]), fi)
+        pts = pts + 0.002 * rng.randn(F, 2)
+
+    assert len(s.kf_order) == 5
+    kf = s.keyframes[s.kf_order[-1]]
+    assert kf.thumb is not None and kf.thumb.shape == (120, 160)
+    assert kf.pix_pts is not None and len(kf.pix_pts) == len(kf.track_ids)
+    ka, kb, pairs = s.last_adjacent_matches
+    assert (ka, kb) == (s.kf_order[-1], s.kf_order[-2])
+    assert len(pairs) >= 1  # same scene, slightly moved points must match
+    proj, obs = s.map_points_in_keyframe(kf.kf_id)
+    assert obs.shape[1] == 2
+    # without the flag, no storage cost
+    s2 = Slam(p)
+    s2.add_frame(render(0), np.eye(4), ids, pts, 0.0, 0)
+    assert s2.keyframes[s2.kf_order[0]].thumb is None
