@@ -48,13 +48,17 @@ def _stereo_second_extrinsic(baseline_m: float = 0.11) -> np.ndarray:
     return second
 
 
+KB4_PROBE = (0.0035, 0.0007, -0.002, 0.0002)  # bench.py fisheye family
+
+
 def run_textured_probe(duration: float = 6.0, seed: int = 8,
                        width: int = 320, height: int = 240,
                        fx: float = 260.0, dtype=None,
-                       stereo: bool = False) -> dict:
-    """Run mono (or stereo) VIO end-to-end on the textured world; return a
-    result dict {"ate_rmse_m", "frames", "finite"}. Deterministic for a
-    given seed.
+                       stereo: bool = False, fisheye: bool = False) -> dict:
+    """Run mono / stereo / fisheye VIO end-to-end on the textured world;
+    return a result dict {"ate_rmse_m", "frames", "finite"}. Deterministic
+    for a given seed. fisheye renders THROUGH the KB4 equidistant model
+    (the BASELINE config-4 family) and runs the fisheye camera pipeline.
 
     Matmul precision is pinned to 'highest' (the EKF production/bench mode,
     bench.py) so the result does not depend on ambient jax config: the ATE
@@ -73,11 +77,15 @@ def run_textured_probe(duration: float = 6.0, seed: int = 8,
     from ..odometry.vio import make_vio
 
     dtype = dtype or jnp.float32
+    if fisheye:
+        width = height = 320
+        fx = 120.0  # wide FOV over the same 320-px sensor
     with jax.default_matmul_precision("highest"):
-        return _run(duration, seed, width, height, fx, dtype, stereo)
+        return _run(duration, seed, width, height, fx, dtype, stereo, fisheye)
 
 
-def _run(duration, seed, width, height, fx, dtype, stereo=False) -> dict:
+def _run(duration, seed, width, height, fx, dtype, stereo=False,
+         fisheye=False) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -94,10 +102,22 @@ def _run(duration, seed, width, height, fx, dtype, stereo=False) -> dict:
         p.tracker.useStereo = True
         p.odometry.secondImuToCameraMatrix = tuple(
             _stereo_second_extrinsic().T.flatten())
-    derived = DerivedParameters.from_parameters(p)
-    cam = build_pinhole(fx, fx, width / 2, height / 2,
-                        width=width, height=height, dtype=dtype)
+    coeffs = None
+    if fisheye:
+        from ..geometry.cameras import build_fisheye
+
+        coeffs = KB4_PROBE
+        p.tracker.fisheyeCamera = True
+        p.tracker.validCameraFov = 150.0
+        p.tracker.distortionCoeffs = coeffs
+        cam = build_fisheye(fx, fx, width / 2, height / 2, coeffs=coeffs,
+                            max_valid_fov_deg=150.0, width=width,
+                            height=height, dtype=dtype)
+    else:
+        cam = build_pinhole(fx, fx, width / 2, height / 2,
+                            width=width, height=height, dtype=dtype)
     cams = (cam, cam) if stereo else (cam,)
+    derived = DerivedParameters.from_parameters(p)
 
     seq = generate_sequence(duration=duration, imu_rate=100.0, frame_rate=10.0,
                             gyro_noise=5e-4, acc_noise=5e-3, seed=seed,
@@ -106,7 +126,7 @@ def _run(duration, seed, width, height, fx, dtype, stereo=False) -> dict:
     render = textured_frame_renderer(
         scene, seq, SYNTH_IMU_TO_CAMERA, fx, fx, width / 2, height / 2,
         width, height, exposure_jitter=0.05, pixel_noise=0.01,
-        motion_blur=True)
+        motion_blur=True, fisheye_coeffs=coeffs)
     render_r = None
     if stereo:
         render_r = textured_frame_renderer(

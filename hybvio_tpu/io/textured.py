@@ -94,17 +94,40 @@ class TexturedScene:
         self.occ_radii = rng.uniform(*self.occluder_radius, self.n_occluders)
 
 
-def _camera_rays(quat, imu_to_camera, fx, fy, cx, cy, width, height):
-    """World-frame ray directions for every pixel (H, W, 3)."""
+def _camera_rays(quat, imu_to_camera, fx, fy, cx, cy, width, height,
+                 fisheye_coeffs=None):
+    """World-frame ray directions for every pixel (H, W, 3). With
+    fisheye_coeffs (KB4 k1..k4) the pixel grid unprojects through the
+    equidistant model r = theta + k1 th^3 + k2 th^5 + k3 th^7 + k4 th^9
+    (same model geometry/cameras.py build_fisheye uses), so the render IS
+    the distorted fisheye image."""
     yy, xx = np.mgrid[0:height, 0:width]
-    d = np.stack([(xx - cx) / fx, (yy - cy) / fy, np.ones_like(xx, np.float64)],
-                 axis=-1)
+    u = (xx - cx) / fx
+    v = (yy - cy) / fy
+    if fisheye_coeffs is None:
+        d = np.stack([u, v, np.ones_like(u, np.float64)], axis=-1)
+    else:
+        k1, k2, k3, k4 = fisheye_coeffs
+        r = np.sqrt(u * u + v * v)
+        theta = r.copy()  # Newton inversion of the odd polynomial
+        for _ in range(8):
+            t2 = theta * theta
+            f = theta * (1 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4)))) - r
+            fp = 1 + t2 * (3 * k1 + t2 * (5 * k2 + t2 * (7 * k3 + t2 * 9 * k4)))
+            theta = theta - f / np.maximum(fp, 1e-9)
+        safe_r = np.where(r > 1e-12, r, 1.0)
+        s_t = np.sin(theta)
+        d = np.stack([s_t * u / safe_r, s_t * v / safe_r, np.cos(theta)],
+                     axis=-1)
+        d = np.where(r[..., None] > 1e-12,
+                     d, np.stack([0 * u, 0 * v, np.ones_like(u)], -1))
     R = _np_quat_to_rmat(np.asarray(quat))
     w2c = imu_to_camera[:3, :3] @ R  # world -> camera rotation
     return d @ w2c  # rows: d_world = w2c^T @ d_cam
 
 def _render_once(scene: TexturedScene, pos, quat, imu_to_camera,
-                 fx, fy, cx, cy, width, height) -> np.ndarray:
+                 fx, fy, cx, cy, width, height,
+                 fisheye_coeffs=None) -> np.ndarray:
     o = np.asarray(pos, np.float64)
     # camera center in world = imu position corrected by cam offset; the
     # synthetic rig has the camera at the imu origin (SYNTH_IMU_TO_CAMERA has
@@ -113,7 +136,8 @@ def _render_once(scene: TexturedScene, pos, quat, imu_to_camera,
     if np.any(t_cam != 0):
         R = _np_quat_to_rmat(np.asarray(quat))
         o = o - R.T @ (imu_to_camera[:3, :3].T @ t_cam)
-    d = _camera_rays(quat, imu_to_camera, fx, fy, cx, cy, width, height)
+    d = _camera_rays(quat, imu_to_camera, fx, fy, cx, cy, width, height,
+                     fisheye_coeffs=fisheye_coeffs)
 
     H, W = d.shape[:2]
     t_hit = np.full((H, W), np.inf)
@@ -189,14 +213,16 @@ def render_textured_view(scene: TexturedScene, pos, quat, imu_to_camera,
                          exposure_bias: float = 0.0,
                          pixel_noise: float = 0.0,
                          blur_pose: Optional[Tuple] = None,
-                         noise_seed: int = 0) -> np.ndarray:
+                         noise_seed: int = 0,
+                         fisheye_coeffs=None) -> np.ndarray:
     """Render one gray frame; blur_pose=(pos2, quat2) enables a 2-tap motion
     blur (average with the sub-frame pose)."""
     img = _render_once(scene, pos, quat, imu_to_camera, fx, fy, cx, cy,
-                       width, height)
+                       width, height, fisheye_coeffs=fisheye_coeffs)
     if blur_pose is not None:
         img2 = _render_once(scene, blur_pose[0], blur_pose[1], imu_to_camera,
-                            fx, fy, cx, cy, width, height)
+                            fx, fy, cx, cy, width, height,
+                            fisheye_coeffs=fisheye_coeffs)
         img = 0.5 * (img + img2)
     img = img * exposure_gain + exposure_bias
     if pixel_noise > 0:
@@ -209,7 +235,8 @@ def textured_frame_renderer(scene: TexturedScene, seq, imu_to_camera,
                             fx, fy, cx, cy, width, height,
                             exposure_jitter: float = 0.0,
                             pixel_noise: float = 0.0,
-                            motion_blur: bool = False):
+                            motion_blur: bool = False,
+                            fisheye_coeffs=None):
     """render(fi) -> float32 (H, W) frame for sequence frame fi, with
     deterministic per-frame exposure jitter / noise / blur."""
     rng = np.random.RandomState(scene.seed + 4321)
@@ -227,6 +254,7 @@ def textured_frame_renderer(scene: TexturedScene, seq, imu_to_camera,
             scene, seq.pos[k], seq.quat[k], imu_to_camera, fx, fy, cx, cy,
             width, height, exposure_gain=float(gains[fi]),
             exposure_bias=float(biases[fi]), pixel_noise=pixel_noise,
-            blur_pose=blur, noise_seed=scene.seed * 1000 + fi)
+            blur_pose=blur, noise_seed=scene.seed * 1000 + fi,
+            fisheye_coeffs=fisheye_coeffs)
 
     return render

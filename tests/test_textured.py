@@ -191,3 +191,17 @@ def test_full_stereo_vio_on_textured_frames():
     assert res["finite"]
     assert res["ate_rmse_m"] < 0.10, f"stereo textured ATE {res['ate_rmse_m']} m"
     print(f"stereo textured VIO ATE: {res['ate_rmse_m']} m")
+
+
+@pytest.mark.slow
+def test_full_fisheye_vio_on_textured_frames():
+    """End-to-end FISHEYE VIO (the BASELINE config-4 family) on the textured
+    world rendered THROUGH the KB4 equidistant model, with occlusion,
+    exposure jitter, pixel noise, and motion blur. Measured 0.05 m; bound
+    leaves chaos margin."""
+    from hybvio_tpu.eval.textured_probe import run_textured_probe
+
+    res = run_textured_probe(duration=6.0, seed=8, fisheye=True)
+    assert res["finite"]
+    assert res["ate_rmse_m"] < 0.15, f"fisheye textured ATE {res['ate_rmse_m']} m"
+    print(f"fisheye textured VIO ATE: {res['ate_rmse_m']} m")
