@@ -506,7 +506,7 @@ class VioApi:
 
         self._visualization = VisualizationMode(int(mode))
 
-    def render_visualization(self, mode=None, epipolar_select="TRACKED"):
+    def render_visualization(self, mode=None, epipolar_select=None):
         """Raster for the selected (or given) VisualizationMode from the last
         processed frame's tagged payload (reference: the TaggedFrame-fed
         visualization path, api.cpp getVisualization + visualizations.cpp).
@@ -519,6 +519,11 @@ class VioApi:
 
         mode = VisualizationMode(int(self._visualization if mode is None
                                      else mode))
+        if epipolar_select is None:
+            # reference: StereoEpipolarVisualization selection comes from
+            # tracker.saveStereoEpipolar (set by the display cmd flag)
+            sel = str(self.params.tracker.saveStereoEpipolar or "TRACKED").upper()
+            epipolar_select = sel if sel != "NONE" else "TRACKED"
         fo = self.last_frame_output
         gray, second = self._last_images
         if mode == VisualizationMode.NONE or gray is None:
@@ -615,6 +620,45 @@ class VioApi:
             ids = np.asarray(out.track_ids)[dsel][:, None].astype(np.float64)
             stereo_cloud = np.concatenate([ids, p_w], axis=1)
             cloud = np.concatenate([cloud, stereo_cloud]) if len(cloud) else stereo_cloud
+        if (self.params.tracker.computeStereoPointCloud
+                and self._last_images[1] is not None):
+            # full strided disparity point cloud merged into the output cloud
+            # (reference: tracker.cpp:792 getStereoPointCloud ->
+            # backend.cpp:1328-1360 merge, stride = stereoPointCloudStride);
+            # synthetic id -2 marks dense-stereo points (no track identity)
+            import jax.numpy as jnp
+
+            from ..frontend.disparity import (compute_disparity,
+                                              default_max_disparity,
+                                              point_cloud)
+            from ..frontend.rectify import build_remap, remap, stereo_rectify
+            from ..geometry.poses import to_camera_to_world
+
+            if not hasattr(self, "_display_rectify"):
+                i2c0 = np.asarray(self.derived.imu_to_camera, np.float64)
+                i2c1 = np.asarray(self.derived.second_imu_to_camera, np.float64)
+                rc0, rc1, Q, _, _ = stereo_rectify(
+                    self.cameras[0], self.cameras[1], i2c0, i2c1,
+                    self.width, self.height)
+                m0 = build_remap(self.cameras[0], rc0, self.width, self.height)
+                m1 = build_remap(self.cameras[1], rc1, self.width, self.height)
+                self._display_rectify = (m0, m1, np.asarray(Q))
+            m0, m1, Q = self._display_rectify
+            gl = remap(jnp.asarray(self._last_images[0], jnp.float32), m0)
+            gr = remap(jnp.asarray(self._last_images[1], jnp.float32), m1)
+            disp, dv = compute_disparity(gl, gr,
+                                         default_max_disparity(self.width))
+            pts, ok = point_cloud(disp, dv, jnp.asarray(Q),
+                                  stride=max(int(self.params.tracker.stereoPointCloudStride), 1))
+            pts, ok = np.asarray(pts), np.asarray(ok)
+            if ok.any():
+                c2w = np.asarray(to_camera_to_world(
+                    jnp.asarray(out.position), jnp.asarray(out.orientation),
+                    jnp.asarray(self.derived.imu_to_camera)))
+                p_w = pts[ok] @ c2w[:3, :3].T + c2w[:3, 3]
+                dense = np.concatenate(
+                    [np.full((len(p_w), 1), -2.0), p_w], axis=1)
+                cloud = np.concatenate([cloud, dense]) if len(cloud) else dense
         trail = np.concatenate([
             np.asarray(out.pose_trail_times)[:, None], np.asarray(out.pose_trail)], axis=1)
         position = np.asarray(out.position)

@@ -228,7 +228,10 @@ def run(argv=None) -> int:
         if src_path is None:
             print(f"error: no frame source found in {dataset}", file=sys.stderr)
             return 1
-        frames = open_frame_source(src_path)
+        frames = open_frame_source(
+            src_path,
+            reader_threads=bool(params.tracker.videoReaderThreads),
+            convert_to_gray=bool(params.tracker.convertVideoToGray))
         H, W = frames.shape
 
     def _input_events():
@@ -338,6 +341,15 @@ def run(argv=None) -> int:
                                "visualizeOrbPyramid", "visualizeOrbs",
                                "visualizeMapPointSearch")
                    if main_flags.get(k) not in (None, "false")}
+    # bridge display flags into the tracker visualization-collection params
+    # (reference: main.cpp:453,468 saveOpticalFlow/saveStereoEpipolar are set
+    # FROM displayOpticalFlow/displayStereoEpipolarCurves)
+    _flow_opt = (main_flags.get("displayOpticalFlow") or "NONE").upper()
+    if _flow_opt not in ("NONE", "FALSE", "TRUE"):
+        params.tracker.saveOpticalFlow = _flow_opt
+    _epi_opt = (main_flags.get("displayStereoEpipolarCurves") or "NONE").upper()
+    if _epi_opt not in ("NONE", "FALSE", "TRUE"):
+        params.tracker.saveStereoEpipolar = _epi_opt
     if slam_viz_on:
         display_on = display_on | {"__slam__"}
         if api.slam is not None:
@@ -350,6 +362,13 @@ def run(argv=None) -> int:
               "-visualizationPath=<dir> to write visualization frames",
               file=sys.stderr)
     last_img = [None]
+    prev_gray = [None]
+
+    def jnp_asarray_f32(a):
+        import jax.numpy as jnp
+
+        return jnp.asarray(a, jnp.float32)
+
     last_kf_seen = {}
     est_positions = []
 
@@ -532,11 +551,30 @@ def run(argv=None) -> int:
                         if len(paths) > 1 and params.tracker.useStereo else None)
             else:
                 num = ev.frames_index if ev.frames_index >= 0 else n_frames
-                img = frames.frame(num, 0)
-                img2 = (frames.frame(num, 1)
+                # camera index selection (reference: main.cpp:251-253
+                # tracker.leftCameraId/rightCameraId)
+                cam_l = int(params.tracker.leftCameraId)
+                cam_r = int(params.tracker.rightCameraId)
+                img = frames.frame(num, cam_l)
+                img2 = (frames.frame(num, cam_r)
                         if len(ev.frames) > 1 and params.tracker.useStereo else None)
             img = maybe_rotate(img)
             img2 = maybe_rotate(img2) if img2 is not None else None
+            # intensity equalization preprocessing (reference:
+            # main.cpp:763-777 matchIntensities on successive frames and on
+            # the stereo pair)
+            if params.tracker.matchSuccessiveIntensities > 0.0 and prev_gray[0] is not None:
+                from ..frontend.image_utils import match_intensities
+
+                img = np.asarray(match_intensities(
+                    jnp_asarray_f32(prev_gray[0]), jnp_asarray_f32(img),
+                    params.tracker.matchSuccessiveIntensities))
+            if img2 is not None and params.tracker.matchStereoIntensities:
+                from ..frontend.image_utils import match_intensities
+
+                img2 = np.asarray(match_intensities(
+                    jnp_asarray_f32(img), jnp_asarray_f32(img2)))
+            prev_gray[0] = img
             last_img[0] = img
             if recorder is not None:
                 recorder.frame(

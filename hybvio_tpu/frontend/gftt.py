@@ -108,6 +108,7 @@ def detect_corners(
     n_candidates: int = 256,
     margin: int = 5,
     crop_fraction: float = 1.0,
+    quality_level: float = 0.0,
 ):
     """Detect up to n_out new corners.
 
@@ -132,6 +133,11 @@ def detect_corners(
         yd = H * (1 - crop_fraction) / 2
         ok &= (x >= xd) & (x < W - xd) & (y >= yd) & (y < H - yd)
     ok &= scores > min_response
+    if quality_level > 0.0:
+        # cv::GFTTDetector semantics: reject candidates below
+        # qualityLevel * (best response) (reference:
+        # feature_detector_legacy.cpp:130 setQualityLevel)
+        ok &= scores > quality_level * jnp.max(scores)
     scores = jnp.where(ok, scores, -jnp.inf)
 
     # candidate pool must cover the requested output count (n_out > pool
@@ -162,7 +168,7 @@ def detect_corners(
 
 
 def subpixel_refine(img: jnp.ndarray, xy: jnp.ndarray, window: int = 10,
-                    iters: int = 5):
+                    iters: int = 5, epsilon: float = 0.0):
     """Corner subpixel refinement (reference: src/tracker/subpixel_adjuster.cpp
     wrapping cv::cornerSubPix). Gradient-product centroid iteration over a
     (2*window+1)^2 neighborhood; out-of-bounds results revert.
@@ -206,7 +212,24 @@ def subpixel_refine(img: jnp.ndarray, xy: jnp.ndarray, window: int = 10,
         ny = (-gxy * bx + gxx * by) / safe_det
         return jnp.where(ok[:, None], jnp.stack([nx, ny], axis=1), p)
 
-    p = jax.lax.fori_loop(0, iters, body, xy)
+    if epsilon > 0.0:
+        # cv::TermCriteria COUNT|EPS parity (reference:
+        # subpixel_adjuster.cpp:31-33 subPixMaxIter + subPixEpsilon): stop
+        # when every corner moved less than epsilon in an iteration
+        def cond(state):
+            i, p, shift = state
+            return (i < iters) & (shift >= epsilon)
+
+        def wbody(state):
+            i, p, _ = state
+            p2 = body(i, p)
+            return i + 1, p2, jnp.max(jnp.linalg.norm(p2 - p, axis=1))
+
+        _, p, _ = jax.lax.while_loop(
+            cond, wbody, (jnp.zeros((), jnp.int32), xy,
+                          jnp.full((), jnp.inf, dtype)))
+    else:
+        p = jax.lax.fori_loop(0, iters, body, xy)
     in_bounds = (p[:, 0] >= 0) & (p[:, 0] < W) & (p[:, 1] >= 0) & (p[:, 1] < H)
     moved_ok = jnp.linalg.norm(p - xy, axis=1) < 2.0 * window
     return jnp.where((in_bounds & moved_ok)[:, None], p, xy)

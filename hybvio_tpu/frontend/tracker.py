@@ -143,12 +143,14 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
                 # could never fill tracker.maxTracks > 128 slots)
                 n_candidates=max(2 * T, 128),
                 crop_fraction=pt.partOfImageToDetectFeatures,
+                quality_level=pt.gfttQualityLevel,
             )
         if pt.subPixMaxIter > 0:
             # corner subpixel refinement (reference: subpixel_adjuster.cpp
             # wrapping cv::cornerSubPix, enabled iff subPixMaxIter > 0)
             xy = subpixel_refine(img, xy, window=min(pt.subPixWindowSize, 7),
-                                 iters=min(pt.subPixMaxIter, 5))
+                                 iters=min(pt.subPixMaxIter, 5),
+                                 epsilon=pt.subPixEpsilon)
         return xy, score, valid
 
     def stereo_match(left_pyr, left_grads, right_pyr, pts_left, valid, guesses=None):
@@ -263,10 +265,21 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
             hr = HybridRansacResult(
                 inliers=r2only.inliers, score=r2only.score,
                 used_r5=jnp.zeros((), bool), skipped=jnp.sum(valid_n) < 2)
-        else:
+        elif pt.useHybridRansac:
             hr = hybrid_ransac(cam0, cam0, prev_px, new_px, n1, n2,
                                valid_n, r_key, pt,
                                ransac2_threshold, ransac5_threshold)
+        else:
+            # useHybridRansac=false (reference: ransac_pipeline.cpp:128,
+            # 135-137 else-branch): R2 still computes the stationarity
+            # score but NO ransac invalidates tracks
+            r2only = ransac2(cam0, cam0, prev_px, new_px, valid_n, r_key,
+                             ransac2_threshold)
+            from .ransac import HybridRansacResult
+
+            hr = HybridRansacResult(
+                inliers=valid_n, score=r2only.score,
+                used_r5=jnp.zeros((), bool), skipped=jnp.zeros((), bool))
         ransac_inliers = hr.inliers
         ransac_skipped = hr.skipped
         if use_stereo and pt.useRansac3:

@@ -183,9 +183,41 @@ class PrefetchingSource(FrameSource):
         return self.inner.shape
 
 
-def open_frame_source(path_or_dir: str) -> FrameSource:
+def open_frame_source(path_or_dir: str, reader_threads: bool = False,
+                      convert_to_gray: bool = False) -> FrameSource:
+    """reader_threads wraps the source in the background prefetch thread
+    (reference: -videoReaderThreads, video_input.cpp:151-165);
+    convert_to_gray forces grayscale at read time (reference:
+    -convertVideoToGray)."""
     if os.path.isdir(path_or_dir):
         if os.path.exists(os.path.join(path_or_dir, "frame_000000_cam0.npy")):
-            return NpyFrameSource(path_or_dir)
-        return ImageDirSource(path_or_dir)
-    return VideoFileSource(path_or_dir)
+            src = NpyFrameSource(path_or_dir)
+        else:
+            src = ImageDirSource(path_or_dir)
+    else:
+        src = VideoFileSource(path_or_dir)
+    if convert_to_gray:
+        src = GrayConvertingSource(src)
+    if reader_threads:
+        src = PrefetchingSource(src)
+    return src
+
+
+class GrayConvertingSource(FrameSource):
+    """Force grayscale at read time (reference: -convertVideoToGray applied
+    inside the video reader, video_input.cpp)."""
+
+    def __init__(self, inner: FrameSource):
+        self.inner = inner
+
+    def frame(self, number: int, camera_ind: int = 0) -> np.ndarray:
+        img = self.inner.frame(number, camera_ind)
+        if img is not None and img.ndim == 3 and img.shape[-1] in (3, 4):
+            from ..frontend.image_utils import rgb_to_gray
+
+            img = np.asarray(rgb_to_gray(img[..., :3]))
+        return img
+
+    @property
+    def shape(self):
+        return self.inner.shape

@@ -589,16 +589,27 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
         acc_idx = jnp.argsort(~accepted_stack, stable=True)[:A_cap]
         acc_ok = accepted_stack[acc_idx]
         rows = outs.H.shape[1]
-        H_big = (outs.H[acc_idx] * acc_ok[:, None, None]).reshape(A_cap * rows, d)
-        f_big = (outs.f[acc_idx] * acc_ok[:, None]).reshape(-1)
-        y_big = (outs.y[acc_idx] * acc_ok[:, None]).reshape(-1)
-        mask_big = (outs.row_mask[acc_idx] & acc_ok[:, None]).reshape(-1)
-
-        res = visual_track_update(
-            ekf.m, ekf.P, H_big, f_big, y_big, mask_big,
-            visual_r, noise_scale, chi_outlier_r=-1.0, rmse_threshold=-1.0,
-            apply_update=jnp.any(acc_ok))
-        m, P = res.m, res.P
+        # batchVisualUpdateMaxSizeMultiplier bounds ONE stacked update to
+        # stateDim * multiplier rows; overflow is flushed as additional
+        # sequential batched updates, not dropped (reference:
+        # backend.cpp:1001,1172-1183 flush-and-continue)
+        per_chunk = max(int(d * po.batchVisualUpdateMaxSizeMultiplier + 0.5) // max(rows, 1), 1)
+        n_chunks = (A_cap + per_chunk - 1) // per_chunk
+        m, P = ekf.m, ekf.P
+        for ci in range(n_chunks):
+            sl = slice(ci * per_chunk, min((ci + 1) * per_chunk, A_cap))
+            idx_c = acc_idx[sl]
+            ok_c = acc_ok[sl]
+            n_c = idx_c.shape[0]
+            H_big = (outs.H[idx_c] * ok_c[:, None, None]).reshape(n_c * rows, d)
+            f_big = (outs.f[idx_c] * ok_c[:, None]).reshape(-1)
+            y_big = (outs.y[idx_c] * ok_c[:, None]).reshape(-1)
+            mask_big = (outs.row_mask[idx_c] & ok_c[:, None]).reshape(-1)
+            res = visual_track_update(
+                m, P, H_big, f_big, y_big, mask_big,
+                visual_r, noise_scale, chi_outlier_r=-1.0, rmse_threshold=-1.0,
+                apply_update=jnp.any(ok_c))
+            m, P = res.m, res.P
 
         if M > 0:
             # vectorized inserts: one masked covariance reset + mean write

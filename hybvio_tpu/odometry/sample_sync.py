@@ -114,7 +114,12 @@ class SampleSync:
         self.indexF = (self.indexF + 1) % self.size
 
     def add_frame(self, t: float, first_image=None, second_image=None, tag=None) -> None:
-        t = t - self.po.imuToCameraShiftSeconds - self.variable_imu_to_camera_shift
+        shift = self.po.imuToCameraShiftSeconds
+        if self.po.secondImuToCameraShiftSeconds != 0.0:
+            # stereo frames share one timestamp, so per-camera shifts average
+            # (reference: tracker/util.cpp:113-120)
+            shift = 0.5 * (shift + self.po.secondImuToCameraShiftSeconds)
+        t = t - shift - self.variable_imu_to_camera_shift
 
         if len(self.frames) >= self.po.sampleSyncFrameBufferSize:
             # heavy-handed culling: keep every 2nd (reference: cullBuffer)

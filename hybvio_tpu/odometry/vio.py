@@ -61,7 +61,7 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=jnp.float64,
         rc0, rc1, Q_rectified, _, _ = stereo_rectify(
             cameras[0], cameras[1], np.asarray(derived.imu_to_camera),
             np.asarray(derived.second_imu_to_camera), img_w, img_h,
-            dtype=image_dtype)
+            zoom=pt.rectificationZoom, dtype=image_dtype)
         input_remaps = (build_remap(cameras[0], rc0, img_w, img_h),
                         build_remap(cameras[1], rc1, img_w, img_h))
         cameras = (rc0, rc1)
@@ -101,7 +101,7 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=jnp.float64,
             rc0, rc1, Q_depth, _, _ = stereo_rectify(
                 cameras[0], cameras[1], np.asarray(derived.imu_to_camera),
                 np.asarray(derived.second_imu_to_camera), img_w, img_h,
-                dtype=image_dtype)
+                zoom=pt.rectificationZoom, dtype=image_dtype)
             remap0 = build_remap(cameras[0], rc0, img_w, img_h)
             remap1 = build_remap(cameras[1], rc1, img_w, img_h)
         max_disp = default_max_disparity(img_w)
@@ -209,6 +209,11 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=jnp.float64,
             guess, stereo_guess = None, None
 
         rng, tkey = jax.random.split(bstate.rng)
+        # the tracker RANSAC stream is separately seeded (reference:
+        # tracker.ransacRngSeed, ransac_pipeline.cpp/stereo_upright_2p.cpp
+        # own their RNG): folding the seed in gives a deterministic stream
+        # that changes when the seed parameter changes
+        tkey = jax.random.fold_in(tkey, pt.ransacRngSeed)
         bstate = bstate._replace(rng=rng)
         pose_rot = None
         if use_stereo and pt.useStereoUpright2p and not pt.useRansac3:
