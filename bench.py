@@ -361,7 +361,7 @@ def run_batched(p, derived, cams, seq, frames, F, B, dtype, config):
         from hybvio_tpu.eval.textured_probe import run_textured_probe
 
         result["extra"]["textured_world"] = run_textured_probe(
-            duration=6.0, stereo=(config == "stereo"),
+            duration=6.0, stereo=(config in ("stereo", "vislam")),
             fisheye=(config == "fisheye"))
     print(_json.dumps(result))
 

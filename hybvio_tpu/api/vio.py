@@ -498,6 +498,26 @@ class VioApi:
                     ekf=_cp(self._state.backend.ekf,
                             self.params.odometry.cameraTrailLength)))
 
+    def _get_display_rectify(self):
+        """Cached stereo rectification for the display/point-cloud paths:
+        (map0, map1, Q, rect_cam0, rect_cam1). Uses the same zoom as the
+        pipeline's rectifier so overlays line up with tracker pixels."""
+        if not hasattr(self, "_display_rectify"):
+            import numpy as _np
+
+            from ..frontend.rectify import build_remap, stereo_rectify
+
+            i2c0 = _np.asarray(self.derived.imu_to_camera, _np.float64)
+            i2c1 = _np.asarray(self.derived.second_imu_to_camera, _np.float64)
+            rc0, rc1, Q, _, _ = stereo_rectify(
+                self.cameras[0], self.cameras[1], i2c0, i2c1,
+                self.width, self.height,
+                zoom=self.params.tracker.rectificationZoom)
+            m0 = build_remap(self.cameras[0], rc0, self.width, self.height)
+            m1 = build_remap(self.cameras[1], rc1, self.width, self.height)
+            self._display_rectify = (m0, m1, _np.asarray(Q), rc0, rc1)
+        return self._display_rectify
+
     def set_visualization(self, mode) -> None:
         """Select the per-frame video visualization (reference:
         InternalAPI::setVisualization, internal.hpp:287; modes
@@ -538,32 +558,35 @@ class VioApi:
                 track_valid=_np.asarray(fo.track_ids) >= 0,
                 stereo_pixels=px[:, 1, :] if px.shape[1] > 1 else None,
             )
-        if len(self.cameras) > 1:
-            i2c0 = _np.asarray(self.derived.imu_to_camera, _np.float64)
-            i2c1 = _np.asarray(self.derived.second_imu_to_camera, _np.float64)
-            kw.update(cam_first=self.cameras[0], cam_second=self.cameras[1],
-                      T10=i2c1 @ _np.linalg.inv(i2c0))
-        if mode in (VisualizationMode.STEREO_DISPARITY,
-                    VisualizationMode.STEREO_DEPTH) and second is not None:
-            # disparity runs on the RECTIFIED pair (reference: requires
-            # -useRectification; stereo_disparity.cpp operates post-rectify)
+        cam_first, cam_second = self.cameras[0], (
+            self.cameras[1] if len(self.cameras) > 1 else None)
+        needs_rect = (len(self.cameras) > 1 and (
+            self.params.tracker.useRectification
+            or mode in (VisualizationMode.STEREO_DISPARITY,
+                        VisualizationMode.STEREO_DEPTH)))
+        if needs_rect:
+            # with useRectification the tracker (and hence fo.track_pixels)
+            # operates on the RECTIFIED images/cameras, so overlays must be
+            # drawn on the remapped frames with the rectified cameras;
+            # disparity/depth always require the rectified pair (reference:
+            # stereo_disparity.cpp operates post-rectify). The rectified
+            # Camera objects carry the rectifying rotation, so pixel rays
+            # stay in the ORIGINAL camera frames and T10 is unchanged.
             import jax.numpy as _jnp
 
-            from ..frontend.rectify import build_remap, remap, stereo_rectify
+            from ..frontend.rectify import remap
 
-            if not hasattr(self, "_display_rectify"):
-                i2c0 = _np.asarray(self.derived.imu_to_camera, _np.float64)
-                i2c1 = _np.asarray(self.derived.second_imu_to_camera, _np.float64)
-                rc0, rc1, Q, _, _ = stereo_rectify(
-                    self.cameras[0], self.cameras[1], i2c0, i2c1,
-                    self.width, self.height)
-                m0 = build_remap(self.cameras[0], rc0, self.width, self.height)
-                m1 = build_remap(self.cameras[1], rc1, self.width, self.height)
-                self._display_rectify = (m0, m1, _np.asarray(Q))
-            m0, m1, Q = self._display_rectify
+            m0, m1, Q, rc0, rc1 = self._get_display_rectify()
             gray = _np.asarray(remap(_jnp.asarray(gray, _jnp.float32), m0))
-            second = _np.asarray(remap(_jnp.asarray(second, _jnp.float32), m1))
+            if second is not None:
+                second = _np.asarray(remap(_jnp.asarray(second, _jnp.float32), m1))
+            cam_first, cam_second = rc0, rc1
             kw["Q"] = Q
+        if cam_second is not None:
+            i2c0 = _np.asarray(self.derived.imu_to_camera, _np.float64)
+            i2c1 = _np.asarray(self.derived.second_imu_to_camera, _np.float64)
+            kw.update(cam_first=cam_first, cam_second=cam_second,
+                      T10=i2c1 @ _np.linalg.inv(i2c0))
         return render_video_visualization(mode, gray, second_gray=second,
                                   epipolar_select=epipolar_select, **kw)
 
@@ -631,19 +654,10 @@ class VioApi:
             from ..frontend.disparity import (compute_disparity,
                                               default_max_disparity,
                                               point_cloud)
-            from ..frontend.rectify import build_remap, remap, stereo_rectify
+            from ..frontend.rectify import remap
             from ..geometry.poses import to_camera_to_world
 
-            if not hasattr(self, "_display_rectify"):
-                i2c0 = np.asarray(self.derived.imu_to_camera, np.float64)
-                i2c1 = np.asarray(self.derived.second_imu_to_camera, np.float64)
-                rc0, rc1, Q, _, _ = stereo_rectify(
-                    self.cameras[0], self.cameras[1], i2c0, i2c1,
-                    self.width, self.height)
-                m0 = build_remap(self.cameras[0], rc0, self.width, self.height)
-                m1 = build_remap(self.cameras[1], rc1, self.width, self.height)
-                self._display_rectify = (m0, m1, np.asarray(Q))
-            m0, m1, Q = self._display_rectify
+            m0, m1, Q, _, _ = self._get_display_rectify()
             gl = remap(jnp.asarray(self._last_images[0], jnp.float32), m0)
             gr = remap(jnp.asarray(self._last_images[1], jnp.float32), m1)
             disp, dv = compute_disparity(gl, gr,

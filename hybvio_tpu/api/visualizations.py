@@ -425,19 +425,23 @@ def render_orb_keypoints(thumb: np.ndarray, pix_pts, valid=None,
 
 
 def render_orb_pyramid(thumb: np.ndarray, levels: int = 3) -> np.ndarray:
-    """ORB_PYRAMID view: the keyframe's downscale pyramid side by side."""
+    """ORB_PYRAMID view: the keyframe's downscale pyramid, levels stacked
+    top-to-bottom in a right-hand column."""
     H, W = thumb.shape
     canvas = np.zeros((H, W + W // 2 + 8, 3), np.float32)
     canvas[:H, :W] = to_rgb(thumb)
     x = W + 4
+    y = 0
     img = thumb
     for _ in range(1, levels):
-        img = 0.25 * (img[0::2, 0::2] + img[1::2, 0::2]
-                      + img[0::2, 1::2] + img[1::2, 1::2])
+        he, we = (img.shape[0] // 2) * 2, (img.shape[1] // 2) * 2  # even crop
+        img = 0.25 * (img[0:he:2, 0:we:2] + img[1:he:2, 0:we:2]
+                      + img[0:he:2, 1:we:2] + img[1:he:2, 1:we:2])
         h, w = img.shape
-        canvas[:h, x:x + w] = to_rgb(img)
-        x += 4  # overlap levels diagonally is not needed; stack at same x
-        canvas[h + 2:h + 3, W + 2:] = 0.25
+        if y + h > H:
+            break
+        canvas[y:y + h, x:x + w] = to_rgb(img)
+        y += h + 2
     return canvas
 
 

@@ -345,10 +345,14 @@ def run(argv=None) -> int:
     # (reference: main.cpp:453,468 saveOpticalFlow/saveStereoEpipolar are set
     # FROM displayOpticalFlow/displayStereoEpipolarCurves)
     _flow_opt = (main_flags.get("displayOpticalFlow") or "NONE").upper()
-    if _flow_opt not in ("NONE", "FALSE", "TRUE"):
+    if _flow_opt == "TRUE":
+        _flow_opt = "COMPARE"  # bare -flow: reference's richest overlay
+    if _flow_opt not in ("NONE", "FALSE"):
         params.tracker.saveOpticalFlow = _flow_opt
     _epi_opt = (main_flags.get("displayStereoEpipolarCurves") or "NONE").upper()
-    if _epi_opt not in ("NONE", "FALSE", "TRUE"):
+    if _epi_opt == "TRUE":
+        _epi_opt = "TRACKED"
+    if _epi_opt not in ("NONE", "FALSE"):
         params.tracker.saveStereoEpipolar = _epi_opt
     if slam_viz_on:
         display_on = display_on | {"__slam__"}
@@ -405,12 +409,14 @@ def run(argv=None) -> int:
             video_modes.append(("video", M.PLAIN_VIDEO if fo is None
                                 else M.DEBUG_VISUALIZATION))
         if "displayPlainVideo" in display_on:
-            video_modes.append(("video", M.PLAIN_VIDEO))
+            # distinct name: both flags can be active at once, each gets its
+            # own raster stream (reference: separate windows)
+            video_modes.append(("plain", M.PLAIN_VIDEO))
         if "displayTracks" in display_on and fo is not None:
             video_modes.append(("tracks", M.TRACKS))
         if "displayTracksAll" in display_on and fo is not None:
             video_modes.append(("tracks_all", M.TRACKS_ALL))
-        flow_opt = (main_flags.get("displayOpticalFlow") or "NONE").upper()
+        flow_opt = str(params.tracker.saveOpticalFlow or "NONE").upper()
         if flow_opt not in ("NONE", "FALSE") and fo is not None:
             video_modes.append(("flow", M.OPTICAL_FLOW_FAILURES
                                 if flow_opt == "FAILURES" else M.OPTICAL_FLOW))
@@ -418,7 +424,7 @@ def run(argv=None) -> int:
             video_modes.append(("corner", M.CORNER_MEASURE))
         if "displayStereoMatching" in display_on and fo is not None:
             video_modes.append(("stereo_match", M.STEREO_MATCHING))
-        epi_opt = (main_flags.get("displayStereoEpipolarCurves") or "NONE").upper()
+        epi_opt = str(params.tracker.saveStereoEpipolar or "NONE").upper()
         if epi_opt not in ("NONE", "FALSE") and fo is not None:
             video_modes.append(("epipolar", M.STEREO_EPIPOLAR))
         if "displayStereoDisparity" in display_on:

@@ -132,7 +132,7 @@ def _run(duration, seed, width, height, fx, dtype, stereo=False,
         render_r = textured_frame_renderer(
             scene, seq, _stereo_second_extrinsic(), fx, fx, width / 2,
             height / 2, width, height, exposure_jitter=0.05,
-            pixel_noise=0.01, motion_blur=True)
+            pixel_noise=0.01, motion_blur=True, fisheye_coeffs=coeffs)
 
     def frame(fi):
         if stereo:

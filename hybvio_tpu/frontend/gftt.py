@@ -22,7 +22,7 @@ import os as _os
 
 # fused kernel on TPU (ops/gftt_pallas.py); XLA elsewhere. HYBVIO_NO_PALLAS=1
 # falls back to the pure-XLA paths everywhere (numerics bisection switch).
-USE_PALLAS = not _os.environ.get("HYBVIO_NO_PALLAS")
+USE_PALLAS = _os.environ.get("HYBVIO_NO_PALLAS", "0").lower() in ("", "0", "false")
 
 
 def _greedy_select(d2, cand_ok, min_d2: float, k: int):

@@ -62,9 +62,9 @@ def _gather_patches(img, centers, ps: int):
     cx = jnp.clip(jnp.floor(centers[:, 0]).astype(jnp.int32) - r, 0, W - ps)
     cy = jnp.clip(jnp.floor(centers[:, 1]).astype(jnp.int32) - r, 0, H - ps)
 
-    import os as _os
+    from .pyramid import USE_PALLAS as _USE_PALLAS
     if (jax.default_backend() == "tpu" and img.dtype == jnp.float32
-            and not _os.environ.get("HYBVIO_NO_PALLAS")):
+            and _USE_PALLAS):
         # the kernel's (8, 128) alignment algebra is f32-tile specific
         from ..ops.patch_gather_pallas import (
             PALLAS_AVAILABLE, gather_patches_pallas,

@@ -39,7 +39,7 @@ def _sep_conv2d(img: jnp.ndarray, kx: np.ndarray, ky: np.ndarray) -> jnp.ndarray
 import os as _os
 
 # fused kernels on TPU (ops/pyramid_pallas.py); HYBVIO_NO_PALLAS=1 -> XLA path
-USE_PALLAS = not _os.environ.get("HYBVIO_NO_PALLAS")
+USE_PALLAS = _os.environ.get("HYBVIO_NO_PALLAS", "0").lower() in ("", "0", "false")
 
 
 def _pallas_ok(img) -> bool:

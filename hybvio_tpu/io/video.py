@@ -13,7 +13,6 @@ prefetching (reference: BoundedInputQueue double buffering).
 from __future__ import annotations
 
 import os
-import queue
 import subprocess
 import threading
 from typing import Iterator, Optional
@@ -138,17 +137,19 @@ class VideoFileSource(FrameSource):
 
 class PrefetchingSource(FrameSource):
     """Background-thread prefetch wrapper (reference: video reader threads +
-    BoundedInputQueue, video_input.cpp:23-58)."""
+    BoundedInputQueue, video_input.cpp:23-58). frame(n, cam) queues reads
+    for n..n+lookahead of the same camera so the worker decodes ahead of the
+    consumer; a worker-side exception is captured and re-raised in the
+    consumer (a silently dead worker would hang the pipeline forever)."""
 
     def __init__(self, inner: FrameSource, lookahead: int = 4):
         self.inner = inner
         self.lookahead = lookahead
-        self.q: "queue.Queue" = queue.Queue(maxsize=lookahead)
         self.results = {}
         self.lock = threading.Lock()
-        self.thread = threading.Thread(target=self._worker, daemon=True)
         self.requested = []
         self.cv = threading.Condition()
+        self.thread = threading.Thread(target=self._worker, daemon=True)
         self.thread.start()
 
     def _worker(self):
@@ -157,7 +158,10 @@ class PrefetchingSource(FrameSource):
                 while not self.requested:
                     self.cv.wait()
                 number, cam = self.requested.pop(0)
-            img = self.inner.frame(number, cam)
+            try:
+                img = self.inner.frame(number, cam)
+            except Exception as e:  # re-raised in frame()
+                img = e
             with self.lock:
                 self.results[(number, cam)] = img
             with self.cv:
@@ -165,18 +169,33 @@ class PrefetchingSource(FrameSource):
 
     def request(self, number: int, camera_ind: int = 0):
         with self.cv:
-            self.requested.append((number, camera_ind))
-            self.cv.notify_all()
+            key = (number, camera_ind)
+            with self.lock:
+                have = key in self.results
+            if not have and key not in self.requested:
+                self.requested.append(key)
+                self.cv.notify_all()
 
     def frame(self, number: int, camera_ind: int = 0) -> np.ndarray:
+        # read-ahead: queue this frame plus the next `lookahead` of the same
+        # camera, so decode overlaps the consumer's compute
+        for n in range(number, number + 1 + self.lookahead):
+            self.request(n, camera_ind)
+        key = (number, camera_ind)
         with self.cv:
-            while (number, camera_ind) not in self.results:
-                if (number, camera_ind) not in self.requested:
-                    self.requested.append((number, camera_ind))
-                    self.cv.notify_all()
+            while True:
+                with self.lock:
+                    if key in self.results:
+                        break
                 self.cv.wait(timeout=0.1)
         with self.lock:
-            return self.results.pop((number, camera_ind))
+            img = self.results.pop(key)
+            # bound the cache: drop any frames older than the one consumed
+            for k in [k for k in self.results if k[1] == camera_ind and k[0] < number]:
+                self.results.pop(k)
+        if isinstance(img, Exception):
+            raise img
+        return img
 
     @property
     def shape(self):
