@@ -252,3 +252,51 @@ def test_horn_rotation_adversarial_cases():
     # zero cross-covariance (no data): any rotation; must stay finite/orthogonal
     R0 = np.asarray(_kabsch(jnp.zeros((2, 3)), jnp.zeros((2, 3)), jnp.zeros(2)))
     np.testing.assert_allclose(R0 @ R0.T, np.eye(3), atol=1e-6)
+
+
+def test_gftt_quality_level_gate():
+    """gfttQualityLevel rejects candidates below quality*best response
+    (reference: cv::GFTTDetector::setQualityLevel)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hybvio_tpu.frontend.gftt import detect_corners
+
+    rng = np.random.RandomState(0)
+    img = rng.rand(96, 128).astype(np.float32) * 0.05
+    # one strong corner + one weak corner
+    for (cx, cy, amp) in ((30, 30, 1.0), (90, 60, 0.15)):
+        img[cy - 2:cy + 3, cx - 2:cx + 3] += amp * np.array(
+            [[0, 0, 0, 0, 0], [0, 1, 0, 1, 0], [0, 0, 0, 0, 0],
+             [0, 1, 0, 1, 0], [0, 0, 0, 0, 0]], np.float32)
+    none_xy = jnp.full((1, 2), -100.0)
+    none_valid = jnp.zeros(1, bool)
+    kw = dict(mask_radius=5.0, min_distance=10.0, min_response=1e-5)
+    _, _, v_all = detect_corners(jnp.asarray(img), 8, none_xy, none_valid,
+                                 quality_level=0.0, **kw)
+    _, _, v_gated = detect_corners(jnp.asarray(img), 8, none_xy, none_valid,
+                                   quality_level=0.5, **kw)
+    assert int(v_gated.sum()) < int(v_all.sum())
+    assert int(v_gated.sum()) >= 1  # the strong corner survives
+
+
+def test_subpix_epsilon_early_stop_matches_full():
+    """subPixEpsilon terminates refinement early without changing the
+    converged corner (reference: cv::TermCriteria COUNT|EPS,
+    subpixel_adjuster.cpp:31-33)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from hybvio_tpu.frontend.gftt import subpixel_refine
+
+    rng = np.random.RandomState(1)
+    img = rng.rand(64, 96).astype(np.float32) * 0.02
+    # a bright diamond whose centroid sits at a known subpixel spot
+    yy, xx = np.mgrid[0:64, 0:96]
+    img += np.exp(-((xx - 40.3) ** 2 + (yy - 30.7) ** 2) / 4.0).astype(np.float32)
+    xy0 = jnp.asarray([[39.0, 30.0]], jnp.float32)
+    full = np.asarray(subpixel_refine(jnp.asarray(img), xy0, window=5,
+                                      iters=10, epsilon=0.0))
+    eps = np.asarray(subpixel_refine(jnp.asarray(img), xy0, window=5,
+                                     iters=10, epsilon=1e-3))
+    assert np.allclose(full, eps, atol=5e-3), (full, eps)
