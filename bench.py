@@ -427,6 +427,11 @@ def run_vislam(p, seq, render, F, jnp):
             "backend": _jax.default_backend(),
         },
     }
+    if os.environ.get("BENCH_TEXTURED", "1") != "0":
+        from hybvio_tpu.eval.textured_probe import run_textured_probe
+
+        result["extra"]["textured_world"] = run_textured_probe(
+            duration=6.0, stereo=True)
     print(json.dumps(result))
 
 
