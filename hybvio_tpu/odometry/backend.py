@@ -89,6 +89,7 @@ class BackendState(NamedTuple):
     frames_since_keyframe: jnp.ndarray  # () int32
     orientation_initialized: jnp.ndarray  # () bool
     vu_window: jnp.ndarray  # (W,) good-frame history (1/0), ring
+    vu_window_t: jnp.ndarray  # (W,) entry frame times (for the TIME window)
     vu_window_count: jnp.ndarray  # () int32 entries so far
     vu_window_pos: jnp.ndarray  # () int32
     tracking_status: jnp.ndarray  # () int32
@@ -189,6 +190,7 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             frames_since_keyframe=jnp.zeros((), jnp.int32),
             orientation_initialized=jnp.zeros((), bool),
             vu_window=jnp.zeros((W,), dtype=dtype),
+            vu_window_t=jnp.full((W,), -jnp.inf, dtype=dtype),
             vu_window_count=jnp.zeros((), jnp.int32),
             vu_window_pos=jnp.zeros((), jnp.int32),
             tracking_status=jnp.asarray(STATUS_INIT, jnp.int32),
@@ -792,13 +794,24 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             ekf = augment_pose(state.ekf, removed - 1, po)
             state = state._replace(ekf=ekf, trail=trail_state)
 
-            # tracking status from good-frame window (reference: backend.cpp:806-819)
+            # tracking status from the good-frame TIME window (reference:
+            # backend.cpp:806-819 counts good frames within
+            # goodFramesTimeWindowSeconds, independent of frame rate; the
+            # ring is sized for targetFps but the mask below keeps the
+            # window time-based at any actual rate)
             vu_window = state.vu_window.at[state.vu_window_pos].set(
                 jnp.where(good_frame, 1.0, 0.0))
+            vu_window_t = state.vu_window_t.at[state.vu_window_pos].set(t_frame)
             pos_ = (state.vu_window_pos + 1) % W
             count = jnp.minimum(state.vu_window_count + 1, W)
-            mean_vu = jnp.sum(vu_window) / jnp.maximum(count, 1)
-            enough = count > W // 2
+            in_window = vu_window_t >= t_frame - po.goodFramesTimeWindowSeconds
+            n_in = jnp.sum(in_window)
+            mean_vu = (jnp.sum(jnp.where(in_window, vu_window, 0.0))
+                       / jnp.maximum(n_in, 1))
+            # hysteresis arms once the window has real history: half its
+            # nominal span in entries, or a full time-window of entries
+            enough = (count > W // 2) | (n_in >= jnp.minimum(count, W))
+            enough = enough & (count > 3)
             status = state.tracking_status
             status = jnp.where(
                 enough & (status != STATUS_TRACKING) & (mean_vu > po.goodFramesToTracking),
@@ -807,7 +820,8 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
                 enough & (status == STATUS_TRACKING) & (mean_vu < po.goodFramesToTrackingFailed),
                 STATUS_LOST_TRACKING, status)
             state = state._replace(
-                vu_window=vu_window, vu_window_pos=pos_, vu_window_count=count,
+                vu_window=vu_window, vu_window_t=vu_window_t,
+                vu_window_pos=pos_, vu_window_count=count,
                 tracking_status=status.astype(jnp.int32))
         else:
             pc = (jnp.zeros((NV, 3), dtype), jnp.zeros((NV,), jnp.int32),
