@@ -110,7 +110,7 @@ def _charpoly(A):
     return cs
 
 
-def _roots_durand_kerner(coeffs, iters: int = 60):
+def _roots_durand_kerner(coeffs, iters: int = 32):
     """All 10 complex roots of t^10 + c[0] t^9 + ... + c[9]."""
     n = coeffs.shape[0]
     cdtype = jnp.complex128 if coeffs.dtype == jnp.float64 else jnp.complex64
@@ -167,8 +167,13 @@ def five_point_essential(pts1, pts2, dtype=None):
     Ax = jnp.where(finite, Ax, jnp.eye(10, dtype=dtype))
 
     roots = _roots_durand_kerner(_charpoly(Ax))  # (10,) complex x-roots
+    # root-count note: 32 Durand-Kerner iterations converge this degree-10
+    # family to the same residuals as 60 (swept at f32 and f64); the
+    # imaginary-part gate is deliberately LOOSE (f32 charpoly noise pushes
+    # genuinely-real roots off the axis) because the on-variety residual
+    # check below is the authoritative validity filter
     scale = jnp.maximum(jnp.max(jnp.abs(roots.real)), 1.0)
-    is_real = jnp.abs(roots.imag) < 1e-4 * scale
+    is_real = jnp.abs(roots.imag) < 0.3 * scale
 
     eye = jnp.eye(10, dtype=dtype)
 
