@@ -58,8 +58,13 @@ def build_config(config, jnp):
         key, val = kv.split("=")
         group, name = key.split(".")
         cur = getattr(getattr(p, group), name)
-        p.set_parameter(group, name, type(cur)(val) if cur is not None
-                        else float(val))
+        if isinstance(cur, bool):
+            coerced = val.strip().lower() in ("1", "true", "yes", "on")
+        elif cur is not None:
+            coerced = type(cur)(val)
+        else:
+            coerced = float(val)
+        p.set_parameter(group, name, coerced)
     seq_kwargs = dict(n_landmarks=500, gyro_noise=5e-4, acc_noise=5e-3, seed=0)
 
     if config == "fisheye":

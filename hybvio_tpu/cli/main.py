@@ -122,11 +122,11 @@ def run(argv=None) -> int:
     # tools/gen_cmd_params.py; keys are flat (long name or short alias) and
     # normalize to long names here. NOTE reference short semantics: -c =
     # displayVideo, -p = displayPose (NOT calibration/parameters paths).
-    from ..config.cmd_params_generated import CMD_PARAMS, SHORT_TO_NAME, help_text
+    from ..config.cmd_params_generated import (CMD_PARAMS, SHORT_TO_NAME,
+                                               flat_keys, help_text)
 
     _SHORTS = {short: name for short, (_g, name) in SHORT_TO_NAME.items()}
-    _LONG_KEYS = ({n for items in CMD_PARAMS.values() for n in items}
-                  | {"visualizationPath", "interactive"})
+    _LONG_KEYS = flat_keys() | {"visualizationPath", "interactive"}
     # display flags map to raster renderers (api/visualizations.py); frames
     # are written under -visualizationPath (headless: no GUI windows).
     # viewer-group params (Pangolin 3D viewer settings in the reference) are

@@ -758,10 +758,14 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
                         norm0.astype(dtype), norm1.astype(dtype))
                 dd = tracker_in.stereo_depth.astype(dtype)
                 pf3 = inverse_depth(sidp)
-                nrm = jnp.linalg.norm(pf3, axis=-1, keepdims=True)
-                pf3_d = pf3 / jnp.maximum(nrm, 1e-12) * dd[:, None]
+                # dd from disparity_to_depth is Z-DEPTH (p.z/w), not range:
+                # rescale so the z component equals dd (scaling to |p|=dd
+                # would underestimate depth by 1/cos(theta) off-axis)
+                z = pf3[:, 2:3]
+                pf3_d = pf3 * (dd[:, None] / jnp.where(jnp.abs(z) > 1e-9, z, 1.0))
                 sidp_dd = inverse_depth(pf3_d)
-                use_dd = (dd > 0) & sok & jnp.all(jnp.isfinite(sidp_dd), axis=-1)
+                use_dd = ((dd > 0) & sok & (jnp.abs(pf3[:, 2]) > 1e-9)
+                          & jnp.all(jnp.isfinite(sidp_dd), axis=-1))
                 sidp = jnp.where(use_dd[:, None], sidp_dd, sidp)
                 stereo_kwargs = dict(
                     stereo_idp=sidp, stereo_cov=scov,

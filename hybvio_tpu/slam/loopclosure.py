@@ -52,17 +52,19 @@ def ransac_similarity(src, dst, valid, key, n_hyp: int = 100,
     nv = jnp.maximum(jnp.sum(valid), 1)
 
     def hypothesis(k):
-        # draw 3 correspondences among valid (rejection-free: index into the
-        # valid set by modular arithmetic over a random permutation seed)
+        # draw 3 correspondences among valid; duplicated indices make the
+        # Kabsch fit underdetermined (a 2-point sample has a free rotation
+        # axis), so such hypotheses score as -1 like frontend ransac5 does
         idx = jax.random.randint(k, (3,), 0, nv)
         order = jnp.argsort(~valid)  # valid entries first, stable
         sel = order[idx]
+        distinct = jnp.sum(sel[:, None] == sel[None, :]) == 3
         w3 = jnp.ones(3, dtype)
         R, t, s = _kabsch(src[sel], dst[sel], w3, with_scale)
         pred = s * (src @ R.T) + t
         err = jnp.linalg.norm(pred - dst, axis=-1)
         inl = (err < threshold) & valid
-        return jnp.sum(inl), (R, t, s)
+        return jnp.where(distinct, jnp.sum(inl), -1), (R, t, s)
 
     keys = jax.random.split(key, n_hyp)
     scores, models = jax.vmap(hypothesis)(keys)

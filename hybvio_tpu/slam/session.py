@@ -239,13 +239,7 @@ class Slam:
                                  iterations=max(self.ps.globalBAIterations, 5))
             # structure refinement sweeps: windows of NK keyframes with 50%
             # overlap so every keyframe is adjusted at least once
-            NK = self.NK
-            n = len(self.kf_order)
-            step = max(NK // 2, 1)
-            for start in range(0, max(n - NK, 0) + 1, step):
-                self._local_ba(window=self.kf_order[start:start + NK])
-                if start + NK >= n:
-                    break
+            self._global_structure_ba()
         # persist the trained vocabulary for reuse across sessions
         # (reference: vocabularyPath points at a prebuilt DBoW2 vocabulary;
         # ours trains online and can save the codebook back)
@@ -590,11 +584,17 @@ class Slam:
         if ang > ps.maximumDriftRadiansPerTraveled * max(traveled, 1e-6):
             return False
 
-        # loop edge: measured relative pose cand -> kf AFTER correction
+        # loop edge: measured relative pose cand -> kf AFTER correction.
+        # Positions use the full similarity s*R; the ROTATION part of the
+        # corrected pose must stay orthonormal (rmat_to_quat assumes it), so
+        # compose poses with R and apply s only to the translation action.
         T = np.eye(4)
-        T[:3, :3] = s * R
+        T[:3, :3] = R
         T[:3, 3] = tvec
-        corrected_kf_pose = mat_to_pose(T @ pose_to_mat(kf.pose))
+        Tk = pose_to_mat(kf.pose)
+        corrected = T @ Tk
+        corrected[:3, 3] = s * (R @ Tk[:3, 3]) + tvec
+        corrected_kf_pose = mat_to_pose(corrected)
         rel = np.asarray(_relative_pose(
             jnp.asarray(cand.pose), jnp.asarray(corrected_kf_pose)))
         self.loop_edges.append(LoopEdge(cand.kf_id, kf.kf_id, rel))
@@ -627,18 +627,23 @@ class Slam:
 
     def _apply_loop_correction(self, R, t, s, since_kf: int) -> None:
         """Rigidly move the recent map segment onto the loop-closed frame
-        (reference: loopClosureRigidTransform)."""
+        (reference: loopClosureRigidTransform). The rotation composition
+        uses the orthonormal R (mat_to_pose/rmat_to_quat assume it);
+        the similarity scale s acts on positions only."""
         T = np.eye(4)
-        T[:3, :3] = s * R
+        T[:3, :3] = R
         T[:3, 3] = t
         start = self.kf_order.index(since_kf) if since_kf in self.kf_order else 0
         moved_kfs = set(self.kf_order[start + 1:])
         for kf_id in moved_kfs:
             kf = self.keyframes[kf_id]
-            kf.pose = mat_to_pose(T @ pose_to_mat(kf.pose))
+            Tk = pose_to_mat(kf.pose)
+            moved = T @ Tk
+            moved[:3, 3] = s * (R @ Tk[:3, 3]) + t
+            kf.pose = mat_to_pose(moved)
         for mp in self.points.values():
             if mp.triangulated and any(k in moved_kfs for k in mp.observations):
-                mp.position = (T[:3, :3] @ mp.position) + T[:3, 3]
+                mp.position = s * (R @ mp.position) + t
 
     def _pose_graph_all(self, extra_edges: List[LoopEdge],
                         iterations: int = 10) -> None:
@@ -764,20 +769,21 @@ class Slam:
         for le in self.loop_edges:
             protected.add(le.kf_a)
             protected.add(le.kf_b)
-        culled = []
+        # remove-and-re-evaluate: each candidate's criticality is judged
+        # against the CURRENT map (two mutually-redundant keyframes must not
+        # both pass by counting each other as surviving observers; the
+        # reference culls one keyframe per evaluation the same way)
         for kid in list(self.kf_order):
-            if kid in protected:
+            if kid in protected or kid not in self.keyframes:
                 continue
             obs_pts = [mp for mp in self.points.values() if kid in mp.observations]
-            if not obs_pts:
-                culled.append(kid)
-                continue
-            critical = sum(
-                1 for mp in obs_pts
-                if sum(1 for k in mp.observations if k != kid and k in self.keyframes) < 3)
-            if critical / len(obs_pts) <= self.ps.keyframeCullMaxCriticalRatio:
-                culled.append(kid)
-        for kid in culled:
+            if obs_pts:
+                critical = sum(
+                    1 for mp in obs_pts
+                    if sum(1 for k in mp.observations
+                           if k != kid and k in self.keyframes) < 3)
+                if critical / len(obs_pts) > self.ps.keyframeCullMaxCriticalRatio:
+                    continue
             for mp in self.points.values():
                 mp.observations.pop(kid, None)
             self.vocabulary.remove_keyframe(kid)

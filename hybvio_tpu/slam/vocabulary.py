@@ -167,6 +167,11 @@ class Vocabulary:
             self._train_count += desc.shape[0]
             if self._train_count >= self.train_size:
                 self.train_now()
+                if self.trained:
+                    # train_now() -> _rebuild_all() already indexed THIS
+                    # keyframe (tf/df/words/inverted); inserting again would
+                    # permanently double-count its document frequencies
+                    return
         w = self._assign_words(desc)
         uw = np.unique(w)
         self._df[uw] += 1.0

@@ -25,7 +25,12 @@ class Allocator:
             # 2 = the pool list + the getrefcount argument
             if sys.getrefcount(obj) <= 3:
                 return obj
-        assert len(self.pool) < self.max_size, "allocator pool exhausted"
+        if len(self.pool) >= self.max_size:
+            raise RuntimeError("allocator pool exhausted")
+        first_new = len(self.pool)
         for _ in range(min(GROW_STEP, self.max_size - len(self.pool))):
             self.pool.append(self.factory())
-        return self.pool[-GROW_STEP]
+        # return the first buffer appended THIS grow (pool[-GROW_STEP] could
+        # be a still-referenced older buffer when fewer than GROW_STEP slots
+        # remained before max_size)
+        return self.pool[first_new]
