@@ -42,6 +42,8 @@ class VioOutput:
     bias_gyro: Optional[np.ndarray] = None
     bias_acc: Optional[np.ndarray] = None
     stationary_visual: bool = False
+    velocity_covariance: Optional[np.ndarray] = None
+    bias_covariance_diagonal: Optional[np.ndarray] = None  # (9,) BGA+BAA+BAT
 
     def as_json(self, with_trail: bool = False, extras: Optional[dict] = None) -> str:
         trail = None
@@ -711,6 +713,8 @@ class VioApi:
             orientation=orientation,
             velocity=velocity,
             position_covariance=np.asarray(out.position_cov),
+            velocity_covariance=np.asarray(out.velocity_cov),
+            bias_covariance_diagonal=np.asarray(out.bias_cov_diag),
             point_cloud=cloud,
             pose_trail=trail,
             bias_gyro=np.asarray(out.bias_gyro),

@@ -466,10 +466,25 @@ def run(argv=None) -> int:
         if out_file:
             extras = None
             if params.odometry.outputJsonExtras:
+                # reference extras shape (api.cpp:817-860); BAT here is the
+                # 3-dim diagonal accelerometer-transform part of our state
+                bcd = out.bias_covariance_diagonal
                 extras = {
                     "status": out.status,
-                    "biasMeanGyroscopeAdditive": list(map(float, out.bias_gyro)),
-                    "biasMeanAccelerometerAdditive": list(map(float, out.bias_acc)),
+                    "positionCovariance": [
+                        list(map(float, r)) for r in out.position_covariance],
+                    "velocityCovariance": [
+                        list(map(float, r)) for r in out.velocity_covariance],
+                    "focalLength": float(params.tracker.focalLength),
+                    "biasMean": {
+                        "gyroscopeAdditive": list(map(float, out.bias_gyro)),
+                        "accelerometerAdditive": list(map(float, out.bias_acc)),
+                    },
+                    "biasCovarianceDiagonal": {
+                        "gyroscopeAdditive": list(map(float, bcd[0:3])),
+                        "accelerometerAdditive": list(map(float, bcd[3:6])),
+                        "accelerometerTransform": list(map(float, bcd[6:9])),
+                    },
                     "stationaryVisual": out.stationary_visual,
                 }
             out_file.write(out.as_json(with_trail, extras) + "\n")

@@ -106,6 +106,7 @@ class FrameOutput(NamedTuple):
     bias_acc: jnp.ndarray  # (3,)
     position_cov: jnp.ndarray  # (3,3)
     velocity_cov: jnp.ndarray  # (3,3)
+    bias_cov_diag: jnp.ndarray  # (9,) diag(P) over BGA(3)+BAA(3)+BAT(3)
     tracking_status: jnp.ndarray  # () int32
     stationary_visual: jnp.ndarray  # () bool
     point_cloud: jnp.ndarray  # (NV, 3)
@@ -853,6 +854,7 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             bias_acc=ekf.m[13:16],
             position_cov=ekf.P[POS:POS + 3, POS:POS + 3],
             velocity_cov=ekf.P[VEL:VEL + 3, VEL:VEL + 3],
+            bias_cov_diag=jnp.diagonal(ekf.P)[BGA:BGA + 9],
             tracking_status=state.tracking_status,
             stationary_visual=stationary_visual,
             point_cloud=pc[0],

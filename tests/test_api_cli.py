@@ -113,7 +113,15 @@ def test_cli_runner(dataset, tmp_path):
     assert rc == 0
     lines = [json.loads(l) for l in open(out_path)]
     assert len(lines) >= 15
-    assert set(lines[-1]) >= {"time", "position", "orientation", "velocity", "status"}
+    last = lines[-1]
+    assert set(last) >= {"time", "position", "orientation", "velocity", "status"}
+    # reference extras shape (api.cpp:817-860)
+    assert set(last["biasMean"]) == {"gyroscopeAdditive", "accelerometerAdditive"}
+    assert set(last["biasCovarianceDiagonal"]) >= {
+        "gyroscopeAdditive", "accelerometerAdditive", "accelerometerTransform"}
+    assert len(last["positionCovariance"]) == 3
+    assert len(last["velocityCovariance"]) == 3
+    assert last["focalLength"] == 260.0
 
 
 @pytest.mark.slow
