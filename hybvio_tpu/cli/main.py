@@ -625,6 +625,13 @@ def run(argv=None) -> int:
           f"({n_frames / max(elapsed, 1e-9):.1f} fps)", file=sys.stderr)
     if main_flags.get("timer"):
         print(api.time_stats.report(), file=sys.stderr)
+    if api.output_buffer is not None:
+        # buffered-output statistics (reference: OutputBuffer FPS / latency
+        # +/- / skips per second report, output_buffer.hpp:33-46)
+        ob = api.output_buffer
+        print(f"output buffer: {ob.fps:.1f} fps, mean latency "
+              f"{1000 * ob.mean_latency:.1f} ms, {ob.skips_total} skips",
+              file=sys.stderr)
     if api.vu_stats.enabled:
         # totals at exit (reference: printVisualUpdateStats final report)
         print(api.vu_stats.report(), file=sys.stderr)
