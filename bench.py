@@ -58,13 +58,9 @@ def build_config(config, jnp):
         key, val = kv.split("=")
         group, name = key.split(".")
         cur = getattr(getattr(p, group), name)
-        if isinstance(cur, bool):
-            coerced = val.strip().lower() in ("1", "true", "yes", "on")
-        elif cur is not None:
-            coerced = type(cur)(val)
-        else:
-            coerced = float(val)
-        p.set_parameter(group, name, coerced)
+        # set_parameter coerces string values per target type (and raises
+        # on garbage, unlike a hand-rolled truthiness check)
+        p.set_parameter(group, name, float(val) if cur is None else val)
     seq_kwargs = dict(n_landmarks=500, gyro_noise=5e-4, acc_noise=5e-3, seed=0)
 
     if config == "fisheye":

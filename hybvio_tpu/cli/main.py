@@ -475,7 +475,10 @@ def run(argv=None) -> int:
                         list(map(float, r)) for r in out.position_covariance],
                     "velocityCovariance": [
                         list(map(float, r)) for r in out.velocity_covariance],
-                    "focalLength": float(params.tracker.focalLength),
+                    "focalLength": float(
+                        params.tracker.focalLength
+                        if params.tracker.focalLength > 0
+                        else params.tracker.focalLengthX),
                     "biasMean": {
                         "gyroscopeAdditive": list(map(float, out.bias_gyro)),
                         "accelerometerAdditive": list(map(float, out.bias_acc)),

@@ -162,8 +162,13 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
         NV = min(T, (po.maxVisualUpdates if po.maxVisualUpdates > 0 else T) + 12)
     else:
         NV = n_visual_candidates
-    W = max(int(pt.targetFps / max(po.visualUpdateForEveryNFrame, 1)
-                * po.goodFramesTimeWindowSeconds), 1)
+    # good-frame ring: the reference sizes a CircularBuffer at
+    # targetFps/N * window entries (backend.cpp:195-197); we keep 2x
+    # headroom so the TIME mask below still covers the full window when the
+    # actual frame rate exceeds targetFps
+    W_arm = max(int(pt.targetFps / max(po.visualUpdateForEveryNFrame, 1)
+                    * po.goodFramesTimeWindowSeconds), 1)
+    W = max(2 * W_arm, 4)
 
     predict = make_predict(po, dtype)
     prepare = make_prepare_track_update(
@@ -799,11 +804,11 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             ekf = augment_pose(state.ekf, removed - 1, po)
             state = state._replace(ekf=ekf, trail=trail_state)
 
-            # tracking status from the good-frame TIME window (reference:
-            # backend.cpp:806-819 counts good frames within
-            # goodFramesTimeWindowSeconds, independent of frame rate; the
-            # ring is sized for targetFps but the mask below keeps the
-            # window time-based at any actual rate)
+            # tracking status from the good-frame window. The reference's
+            # CircularBuffer (backend.cpp:195-197,806-819) is frame-count
+            # based assuming targetFps; the TIME mask here restricts the
+            # mean to entries within goodFramesTimeWindowSeconds so the
+            # window stays correct when the actual frame rate differs.
             vu_window = state.vu_window.at[state.vu_window_pos].set(
                 jnp.where(good_frame, 1.0, 0.0))
             vu_window_t = state.vu_window_t.at[state.vu_window_pos].set(t_frame)
@@ -813,10 +818,15 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             n_in = jnp.sum(in_window)
             mean_vu = (jnp.sum(jnp.where(in_window, vu_window, 0.0))
                        / jnp.maximum(n_in, 1))
-            # hysteresis arms once the window has real history: half its
-            # nominal span in entries, or a full time-window of entries
-            enough = (count > W // 2) | (n_in >= jnp.minimum(count, W))
-            enough = enough & (count > 3)
+            # arm the hysteresis like the reference (entries > nominal
+            # buffer / 2 at targetFps), OR once the recorded history spans
+            # the full time window (slower-than-target frame rates would
+            # otherwise wait several windows before arming)
+            t_oldest = jnp.min(jnp.where(vu_window_t > -jnp.inf,
+                                         vu_window_t, jnp.inf))
+            span_ok = (count > 1) & (
+                t_frame - t_oldest >= po.goodFramesTimeWindowSeconds)
+            enough = (count > W_arm // 2) | span_ok
             status = state.tracking_status
             status = jnp.where(
                 enough & (status != STATUS_TRACKING) & (mean_vu > po.goodFramesToTracking),
