@@ -322,10 +322,13 @@ def render_video_visualization(
 
 
 def render_pose_plot(histories: Dict[str, np.ndarray], size: int = 512,
-                     axes: Tuple[int, int] = (0, 1)) -> np.ndarray:
+                     axes: Tuple[int, int] = (0, 1),
+                     point_cloud: Optional[np.ndarray] = None) -> np.ndarray:
     """POSE visualization: 2D trajectory comparison
     (reference: visualization_pose.cpp). histories: name -> (N, >=3) positions
-    (or (N, >=4) with time in column 0, auto-detected)."""
+    (or (N, >=4) with time in column 0, auto-detected). point_cloud (M, 3)
+    world points scatter in dim blue (reference: -displayPointCloud draws
+    the point-cloud history into the pose window)."""
     img = np.zeros((size, size, 3), np.float32) + 0.08
     allpts = []
     series = {}
@@ -339,6 +342,12 @@ def render_pose_plot(histories: Dict[str, np.ndarray], size: int = 512,
     cat = np.concatenate(allpts)
     lo = cat.min(axis=0)
     hi = cat.max(axis=0)
+    if point_cloud is not None and len(point_cloud):
+        # include the bulk of the cloud in the view (robust percentiles so
+        # stray triangulations don't crush the trajectory to a dot)
+        pcq = np.asarray(point_cloud)[:, list(axes)]
+        lo = np.minimum(lo, np.percentile(pcq, 5, axis=0))
+        hi = np.maximum(hi, np.percentile(pcq, 95, axis=0))
     span = np.maximum(hi - lo, 1e-6).max()
     margin = 20
 
@@ -346,6 +355,14 @@ def render_pose_plot(histories: Dict[str, np.ndarray], size: int = 512,
         q = (p - (lo + hi) / 2) / span * (size - 2 * margin)
         return q[0] + size / 2, size / 2 - q[1]
 
+    if point_cloud is not None and len(point_cloud):
+        pc = np.asarray(point_cloud)[:, list(axes)]
+        # vectorized scatter (single-pixel marks; the trajectory draws on top)
+        q = (pc - (lo + hi) / 2) / span * (size - 2 * margin)
+        xs = np.round(q[:, 0] + size / 2).astype(int)
+        ys = np.round(size / 2 - q[:, 1]).astype(int)
+        ok = (xs >= 0) & (xs < size) & (ys >= 0) & (ys < size)
+        img[ys[ok], xs[ok]] = (0.25, 0.4, 0.9)
     for name, pts in series.items():
         color = COLORS.get(name, (0.7, 0.7, 0.7))
         for i in range(len(pts) - 1):

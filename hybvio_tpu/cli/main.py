@@ -366,6 +366,7 @@ def run(argv=None) -> int:
               "-visualizationPath=<dir> to write visualization frames",
               file=sys.stderr)
     last_img = [None]
+    pc_history: list = []
     prev_gray = [None]
 
     def jnp_asarray_f32(a):
@@ -450,7 +451,16 @@ def run(argv=None) -> int:
             for name, rows in api.pose_histories.items():
                 if rows:
                     hist[name] = np.asarray(rows, np.float64)[:, 1:4]
-            save_vis(f"pose_{k:06d}", vz.render_pose_plot(hist))
+            pc_hist = None
+            if "displayPointCloud" in display_on:
+                # point-cloud history scatter (reference: -showPc, requires
+                # -p; draws into the pose window)
+                if len(out.point_cloud):
+                    pc_history.extend(out.point_cloud[:, 1:4].tolist())
+                    del pc_history[:-20000]  # bound memory
+                if pc_history:
+                    pc_hist = np.asarray(pc_history)
+            save_vis(f"pose_{k:06d}", vz.render_pose_plot(hist, point_cloud=pc_hist))
         if "displayCovarianceMagnitude" in display_on and api._state is not None:
             P = np.asarray(api._state.backend.ekf.P)
             save_vis(f"cov_{k:06d}", vz.render_covariance_magnitudes(P))
