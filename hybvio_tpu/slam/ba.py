@@ -92,15 +92,27 @@ def _prior_residual(pose_a, pose_b, rel_meas, w_pos, w_rot):
 
 
 def ba_iterate(problem: BAProblem, iterations: int = 10, damping: float = 1e-4,
-               huber_delta: float = 0.01, fix_first_pose: bool = True):
+               huber_delta: float = 0.01, fix_first_pose: bool = True,
+               axis_name: str = None):
     """Run GN iterations; returns (poses, points, final_cost).
 
     Gauge: the first valid pose is held fixed (the odometry priors otherwise
     leave a global 6-DOF + scale-ish gauge freedom in mono).
+
+    axis_name: when set, the MAP-POINT axis of the problem is assumed
+    sharded over that mesh axis (shard_map caller) and every reduction over
+    points becomes a psum collective; poses/priors are replicated and the
+    small Schur solve runs redundantly on every device. This is the
+    multi-chip BA scaling path (see make_sharded_ba) — map points carry the
+    FLOPs (per-observation Jacobians, V inversions, W V^-1 W^T outer
+    products) while the pose-side state is tiny.
     """
     NK = problem.poses.shape[0]
     MP = problem.points.shape[0]
     dtype = problem.poses.dtype
+
+    def _allsum(x):
+        return jax.lax.psum(x, axis_name) if axis_name else x
 
     obs_w = problem.obs_mask & problem.pose_valid[:, None] & problem.point_valid[None, :]
 
@@ -134,11 +146,12 @@ def ba_iterate(problem: BAProblem, iterations: int = 10, damping: float = 1e-4,
         Jc = J_all[..., :6]  # (NK,MP,2,6) camera blocks
         Jp = J_all[..., 6:]  # (NK,MP,2,3) point blocks
 
-        # normal equation blocks
-        U = jnp.einsum("kmri,kmrj->kij", Jc, Jc)  # (NK,6,6)
+        # normal equation blocks; U/bc reduce over the (possibly sharded)
+        # point axis -> collective; V/W/bp stay per-point (local to shard)
+        U = _allsum(jnp.einsum("kmri,kmrj->kij", Jc, Jc))  # (NK,6,6)
         V = jnp.einsum("kmri,kmrj->mij", Jp, Jp)  # (MP,3,3)
         Wkm = jnp.einsum("kmri,kmrj->kmij", Jc, Jp)  # (NK,MP,6,3)
-        bc = -jnp.einsum("kmri,kmr->ki", Jc, r_all)  # (NK,6)
+        bc = -_allsum(jnp.einsum("kmri,kmr->ki", Jc, r_all))  # (NK,6)
         bp = -jnp.einsum("kmri,kmr->mi", Jp, r_all)  # (MP,3)
 
         # --- odometry relative-pose priors between consecutive keyframes ---
@@ -169,16 +182,17 @@ def ba_iterate(problem: BAProblem, iterations: int = 10, damping: float = 1e-4,
         U = U + damping * jnp.eye(6, dtype=dtype)[None]
         V = V + damping * jnp.eye(3, dtype=dtype)[None]
 
-        # --- Schur complement: eliminate points ---
+        # --- Schur complement: eliminate points (point-axis reductions are
+        # collectives under sharding) ---
         Vinv = jnp.linalg.inv(V)  # (MP,3,3); damped, invertible
         WVinv = jnp.einsum("kmij,mjl->kmil", Wkm, Vinv)  # (NK,MP,6,3)
         # S = U - sum_m W Vinv W^T  (dense (NK*6, NK*6) incl. prior coupling)
-        S_full = -jnp.einsum("kmil,qmjl->kqij", WVinv, Wkm)  # (NK,NK,6,6)
+        S_full = -_allsum(jnp.einsum("kmil,qmjl->kqij", WVinv, Wkm))
         S_full = S_full.at[jnp.arange(NK), jnp.arange(NK)].add(U)
         S_full = S_full.at[jnp.arange(NK - 1), jnp.arange(1, NK)].add(W_prior)
         S_full = S_full.at[jnp.arange(1, NK), jnp.arange(NK - 1)].add(
             jnp.swapaxes(W_prior, -1, -2))
-        b_red = bc - jnp.einsum("kmil,ml->ki", WVinv, bp)  # (NK,6)
+        b_red = bc - _allsum(jnp.einsum("kmil,ml->ki", WVinv, bp))  # (NK,6)
 
         S = jnp.transpose(S_full, (0, 2, 1, 3)).reshape(NK * 6, NK * 6)
         b = b_red.reshape(NK * 6)
@@ -198,11 +212,41 @@ def ba_iterate(problem: BAProblem, iterations: int = 10, damping: float = 1e-4,
 
         new_poses = jax.vmap(_apply_pose_delta)(poses, dc)
         new_points = points + dp_pts * problem.point_valid[:, None].astype(dtype)
-        return (new_poses, new_points), jnp.sum(r_all * r_all)
+        return (new_poses, new_points), _allsum(jnp.sum(r_all * r_all))
 
     (poses, points), costs = jax.lax.scan(
         one_iteration, (problem.poses, problem.points), None, length=iterations)
     return poses, points, costs[-1]
+
+
+def make_sharded_ba(mesh, iterations: int = 10, damping: float = 1e-4,
+                    huber_delta: float = 0.01, fix_first_pose: bool = True,
+                    axis: str = "data"):
+    """Multi-chip bundle adjustment: the BAProblem's MAP-POINT axis shards
+    over the mesh; per-point Jacobians / V inversions / Schur outer products
+    run device-local and the pose-side normal equations reduce with psum
+    over ICI. Poses and the (NK*6)^2 Schur solve are replicated (tiny).
+
+    Returns sharded_ba(problem) -> (poses, points, cost) where the problem's
+    points / obs_ip / obs_mask / point_valid leading point dimension must be
+    divisible by the mesh axis size. This is the designed scaling path for
+    large maps (SURVEY §2: VIO itself admits only data parallelism; global
+    map refinement is the one cross-device-FLOPs component)."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    specs = BAProblem(
+        poses=P(), points=P(axis), obs_ip=P(None, axis), obs_mask=P(None, axis),
+        pose_valid=P(), point_valid=P(axis), prior_rel=P(), prior_mask=P(),
+        prior_w_pos=P(), prior_w_rot=P())
+    fn = partial(ba_iterate, iterations=iterations, damping=damping,
+                 huber_delta=huber_delta, fix_first_pose=fix_first_pose,
+                 axis_name=axis)
+    return jax.jit(shard_map(fn, mesh=mesh, in_specs=(specs,),
+                             out_specs=(P(), P(axis), P()),
+                             check_rep=False))
 
 
 def triangulate_points_linear(poses, obs_ip, obs_mask):

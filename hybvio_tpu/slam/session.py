@@ -396,6 +396,16 @@ class Slam:
 
     # ------------------------------------------------------------------- BA
 
+    def set_ba_mesh(self, mesh) -> None:
+        """Opt into multi-chip bundle adjustment: the BA problem's map-point
+        axis (self.MP slots, mask-padded) shards over the mesh and the pose
+        normal equations reduce with psum over ICI (slam/ba.py
+        make_sharded_ba). MP must be divisible by the mesh axis size."""
+        from .ba import make_sharded_ba
+
+        assert self.MP % mesh.devices.size == 0, (self.MP, mesh.devices.size)
+        self._ba_jit = make_sharded_ba(mesh, iterations=8)
+
     def _ba_fn(self):
         if self._ba_jit is None:
             self._ba_jit = jax.jit(
