@@ -146,7 +146,8 @@ class VioApi:
         if params.slam.useSlam:
             from ..odometry.slam_coupling import SlamCoupling
 
-            self.slam = SlamCoupling(params, self.derived.imu_to_camera)
+            self.slam = SlamCoupling(params, self.derived.imu_to_camera,
+                                     camera=self.cameras[0])
 
     # --- input (reference: VioApi::addGyro/addAcc/addFrame*) ---
 
@@ -163,7 +164,18 @@ class VioApi:
                 self.recorder.acc(t, xyz)
             self.sample_sync.add_sample_follower(t, xyz)
 
-    def _to_gray(self, image) -> np.ndarray:
+    def _to_gray(self, image):
+        # device-resident frames pass straight through — the analog of the
+        # reference's GPU-texture ingestion (addFrameMonoOpenGl,
+        # internal.hpp:216-244): the caller already owns an accelerator
+        # buffer and a D2H+H2D round trip (~0.3 s over a TPU tunnel) must
+        # not be forced on the hot path
+        import jax
+
+        if isinstance(image, jax.Array) and image.ndim == 2:
+            import jax.numpy as jnp
+
+            return image if image.dtype == jnp.float32 else image.astype(jnp.float32)
         a = np.asarray(image)
         if a.ndim == 3 and a.shape[-1] in (3, 4):
             # color input -> reference luma conversion (image.cpp:345-367)
@@ -405,8 +417,11 @@ class VioApi:
                 log_info("visual updates: %s", line)
         if self.slam is not None and bool(out.keyframe):
             with self.time_stats.scope("slam submit"):
+                # image stays as-is (possibly device-resident); the coupling
+                # converts AFTER its every-Nth-interval check so skipped
+                # keyframes never pay a device-to-host copy
                 self.slam.maybe_submit(
-                    np.asarray(image, np.float32),
+                    image,
                     np.asarray(out.position), np.asarray(out.orientation),
                     np.asarray(out.track_ids), np.asarray(out.track_norm),
                     float(out.t), self._frame_count)

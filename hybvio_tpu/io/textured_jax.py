@@ -66,6 +66,21 @@ def _value_noise(jnp, x, y, octaves: int, base_scale: float, seed: int):
     return out / jnp.float32(total)
 
 
+# one compiled render program per (scene geometry, intrinsics, noise config):
+# the camera EXTRINSIC is a traced argument, so both cameras of a stereo rig
+# (and any number of renderer instances) share a single XLA compile — the
+# 752x480 program takes ~2 min to compile on the TPU tunnel, so a per-camera
+# compile would dominate the long-sequence protocol's wall clock
+_PROGRAM_CACHE: dict = {}
+
+
+def _scene_key(scene: TexturedScene):
+    return (scene.wall_radius, scene.floor_z, scene.ceil_z,
+            scene.tex_scale_wall, scene.tex_scale_floor, scene.contrast,
+            scene.seed, scene.n_occluders, tuple(scene.occluder_radius),
+            tuple(scene.occluder_ring))
+
+
 def make_textured_renderer(scene: TexturedScene, imu_to_camera,
                            fx: float, fy: float, cx: float, cy: float,
                            width: int, height: int,
@@ -73,8 +88,12 @@ def make_textured_renderer(scene: TexturedScene, imu_to_camera,
                            exposure_jitter: float = 0.0,
                            pixel_noise: float = 0.0,
                            motion_blur: bool = False):
-    """Build `render_sequence(seq, frame_indices, chunk=...) -> (F,H,W) f32
-    numpy` rendering the textured world for the given camera on-device.
+    """Build `render_sequence(seq, frame_indices, chunk=..., device=False)
+    -> (F,H,W) f32` rendering the textured world for the given camera
+    on-device (numpy by default; `device=True` returns the jnp array without
+    the device-to-host copy — the long-probe feeds frames straight back into
+    the jitted VIO step, and a D2H+H2D round trip through the TPU tunnel
+    costs ~0.3 s/frame).
 
     Per-frame exposure jitter follows the same RandomState recipe as
     textured.textured_frame_renderer (seed = scene.seed + 4321) so runs are
@@ -84,10 +103,8 @@ def make_textured_renderer(scene: TexturedScene, imu_to_camera,
     import jax.numpy as jnp
 
     i2c = np.asarray(imu_to_camera, np.float64)
-    Rc = jnp.asarray(i2c[:3, :3], jnp.float32)   # imu -> camera rotation
-    t_cam = np.asarray(i2c[:3, 3])
-    has_cam_offset = bool(np.any(t_cam != 0))
-    t_cam_j = jnp.asarray(t_cam, jnp.float32)
+    Rc_np = np.asarray(i2c[:3, :3], np.float32)   # imu -> camera rotation
+    t_cam_np = np.asarray(i2c[:3, 3], np.float32)
 
     # static pixel-grid camera-frame ray directions (H, W, 3) f32
     yy, xx = np.mgrid[0:height, 0:width].astype(np.float64)
@@ -123,11 +140,9 @@ def make_textured_renderer(scene: TexturedScene, imu_to_camera,
             [2*(x*z - w*y), 2*(y*z + w*x), w*w - x*x - y*y + z*z],
         ], jnp.float32)
 
-    def render_once(pos, quat):
+    def render_once(Rc, t_cam, pos, quat):
         R = quat_to_rmat(quat)
-        o = pos.astype(jnp.float32)
-        if has_cam_offset:
-            o = o - R.T @ (Rc.T @ t_cam_j)
+        o = pos.astype(jnp.float32) - R.T @ (Rc.T @ t_cam)
         w2c = Rc @ R
         d = d_cam_j @ w2c  # (H, W, 3) world-frame ray dirs
 
@@ -196,20 +211,29 @@ def make_textured_renderer(scene: TexturedScene, imu_to_camera,
         att = 1.0 / (1.0 + 0.02 * jnp.where(jnp.isfinite(t_hit), t_hit, 10.0))
         return jnp.clip(shade * att, 0.0, 1.0)
 
-    def render_frame(pos, quat, blur_pos, blur_quat, gain, bias, key):
-        img = render_once(pos, quat)
+    def render_frame(Rc, t_cam, pos, quat, blur_pos, blur_quat, gain, bias,
+                     key):
+        img = render_once(Rc, t_cam, pos, quat)
         if motion_blur:
-            img = 0.5 * (img + render_once(blur_pos, blur_quat))
+            img = 0.5 * (img + render_once(Rc, t_cam, blur_pos, blur_quat))
         img = img * gain + bias
         if pixel_noise > 0:
             img = img + jnp.float32(pixel_noise) * jax.random.normal(
                 key, img.shape, jnp.float32)
         return jnp.clip(img, 0.0, 1.0)
 
-    batched = jax.jit(jax.vmap(render_frame))
+    prog_key = (_scene_key(scene), width, height, fx, fy, cx, cy,
+                tuple(fisheye_coeffs) if fisheye_coeffs is not None else None,
+                motion_blur, pixel_noise > 0)
+    if prog_key not in _PROGRAM_CACHE:
+        _PROGRAM_CACHE[prog_key] = jax.jit(
+            jax.vmap(render_frame, in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0)))
+    batched = _PROGRAM_CACHE[prog_key]
 
-    def render_sequence(seq, frame_indices=None, chunk: int = 32) -> np.ndarray:
-        """Render frames of a SyntheticSequence; returns (F, H, W) f32 numpy.
+    def render_sequence(seq, frame_indices=None, chunk: int = 32,
+                        device: bool = False):
+        """Render frames of a SyntheticSequence; returns (F, H, W) f32 —
+        numpy by default, or the on-device jnp array with `device=True`.
 
         frame_indices: indices into seq.frame_sample_idx (default: all).
         Deterministic per-frame exposure/noise follows the numpy renderer's
@@ -240,17 +264,25 @@ def make_textured_renderer(scene: TexturedScene, imu_to_camera,
             np.asarray(scene.seed * 1000 + frame_indices, np.uint32))
 
         n = len(frame_indices)
-        out = np.empty((n, height, width), np.float32)
         keys = np.asarray(keys)
+        Rc = jnp.asarray(Rc_np)
+        t_cam = jnp.asarray(t_cam_np)
+        chunks = []
+        out = None if device else np.empty((n, height, width), np.float32)
         for s in range(0, n, chunk):
             e = min(s + chunk, n)
             # pad the last chunk to the full chunk size so the vmapped
             # program compiles exactly once
             sl = np.arange(s, s + chunk)
             sl = np.minimum(sl, n - 1)
-            imgs = batched(pos[sl], quat[sl], bpos[sl], bquat[sl],
+            imgs = batched(Rc, t_cam, pos[sl], quat[sl], bpos[sl], bquat[sl],
                            gains[sl], biases[sl], keys[sl])
-            out[s:e] = np.asarray(imgs)[:e - s]
+            if device:
+                chunks.append(imgs[:e - s])
+            else:
+                out[s:e] = np.asarray(imgs)[:e - s]
+        if device:
+            return chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
         return out
 
     return render_sequence
