@@ -80,11 +80,16 @@ class _Pending:
 class SlamCoupling:
     """Drives the Slam session at the reference cadence with async results."""
 
-    def __init__(self, params, imu_to_camera: np.ndarray, use_thread: Optional[bool] = None):
+    def __init__(self, params, imu_to_camera: np.ndarray, use_thread: Optional[bool] = None,
+                 camera=None):
         ps = params.slam
         self.ps = ps
         self.slam = Slam(params)
         self.i2c = np.asarray(imu_to_camera)
+        # the real camera model: used to place ORB descriptor patches at the
+        # TRUE pixel positions of the tracker features (a nominal-focal
+        # reconstruction is wrong across most of a fisheye FOV)
+        self.camera = camera
         self.interval = max(int(ps.keyframeCandidateInterval), 1)
         self.delay_mult = ps.delayIntervalMultiplier
         self.coord = SlamOdometryCoordinateTransformer(ps.removeOdometryTransformZAxisTilt)
@@ -94,6 +99,18 @@ class SlamCoupling:
         self.pool = (concurrent.futures.ThreadPoolExecutor(max_workers=1)
                      if use_thread else None)
         self.point_cloud: List[Tuple[int, int, np.ndarray]] = []
+
+    def _project_pixels(self, norm_pts: np.ndarray) -> np.ndarray:
+        """Normalized points -> pixels through the REAL camera model
+        (reference: the SLAM module samples ORB on the distorted image at the
+        feature's actual pixel; with a KB4 fisheye the nominal-focal fallback
+        is off by tens of pixels at mid-FOV)."""
+        from ..geometry.cameras import ray_to_pixel
+
+        rays = np.concatenate(
+            [norm_pts, np.ones((len(norm_pts), 1))], axis=1)
+        pix, _ok = ray_to_pixel(self.camera, jnp.asarray(rays))
+        return np.asarray(pix)
 
     def imu_pose_to_camera_cw(self, pos, quat) -> np.ndarray:
         """IMU pose (world->imu q) -> camera-to-world 4x4."""
@@ -122,7 +139,13 @@ class SlamCoupling:
         def work(img=image, ocw=odo_cw, ids=np.array(track_ids), pts=np.array(norm_pts),
                  tt=float(t), fn=int(frame_num)):
             sel = ids >= 0
-            return self.slam.add_frame(img, ocw, ids[sel], pts[sel], tt, fn), ocw
+            # convert here — after the interval gate — so skipped keyframes
+            # never pay a device-to-host copy for the gray frame
+            if img is not None:
+                img = np.asarray(img, np.float32)
+            pix = self._project_pixels(pts[sel]) if self.camera is not None else None
+            return self.slam.add_frame(img, ocw, ids[sel], pts[sel], tt, fn,
+                                       pix_pts=pix), ocw
 
         if self.pool is not None:
             fut = self.pool.submit(work)

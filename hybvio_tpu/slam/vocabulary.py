@@ -75,7 +75,9 @@ class Vocabulary:
 
     def __init__(self, n_words: int = 512, train_size: int = 2048,
                  kmeans_iters: int = 8, seed: int = 20240401,
-                 path: Optional[str] = None):
+                 path: Optional[str] = None,
+                 reservoir_size: int = 4096,
+                 retrain_every_docs: int = 32):
         self.n_words = n_words
         self.train_size = train_size
         self.kmeans_iters = kmeans_iters
@@ -83,12 +85,26 @@ class Vocabulary:
         rng = np.random.RandomState(seed)
         self.codebook = np.sign(rng.randn(n_words, N_BITS)).astype(np.float32)
         self.trained = False
+        # a vocabulary LOADED from vocabularyPath is a fixed pretrained
+        # codebook (the reference's DBoW2 semantics: vocabularyPath points at
+        # a prebuilt general vocabulary that never changes in-session)
+        self.frozen = False
         if path and os.path.exists(path):
             loaded = np.load(path)
             if loaded.shape == (n_words, N_BITS):
                 self.codebook = loaded.astype(np.float32)
                 self.trained = True
-        self._train_pool: List[np.ndarray] = []
+                self.frozen = True
+        # reservoir-sampled training pool spanning the WHOLE session (a
+        # train-once-on-the-first-2048-descriptors codebook cannot represent
+        # scenery first seen later; periodic retrain + _rebuild_all keeps
+        # retrieval consistent)
+        self.reservoir_size = reservoir_size
+        self.retrain_every_docs = retrain_every_docs
+        self._reservoir = np.zeros((0, N_BITS), np.float32)
+        self._seen_desc = 0
+        self._docs_at_train = 0
+        self._reservoir_rng = np.random.RandomState(seed + 17)
         self._train_count = 0
         # per-keyframe raw descriptors kept until training so BoW vectors can
         # be rebuilt with the trained codebook
@@ -144,13 +160,25 @@ class Vocabulary:
 
     # ---------------------------------------------------------------- public
 
+    def _reservoir_add(self, desc: np.ndarray) -> None:
+        """Deterministic reservoir sampling over all session descriptors."""
+        for row in desc:
+            self._seen_desc += 1
+            if len(self._reservoir) < self.reservoir_size:
+                self._reservoir = np.concatenate(
+                    [self._reservoir, row[None, :]])
+            else:
+                j = self._reservoir_rng.randint(self._seen_desc)
+                if j < self.reservoir_size:
+                    self._reservoir[j] = row
+
     def train_now(self) -> None:
-        pool = np.concatenate(self._train_pool, axis=0) if self._train_pool else None
-        if pool is None or pool.shape[0] < self.n_words // 4:
+        pool = self._reservoir
+        if self.frozen or pool.shape[0] < self.n_words // 4:
             return
         self.codebook = _kmeans(pool, self.n_words, self.kmeans_iters, self.seed)
         self.trained = True
-        self._train_pool = []
+        self._docs_at_train = self.n_docs
         self._rebuild_all()
 
     def add_keyframe(self, kf_id: int, desc: np.ndarray,
@@ -162,10 +190,17 @@ class Vocabulary:
             return
         self._kf_desc[kf_id] = desc
         self.n_docs += 1
-        if not self.trained:
-            self._train_pool.append(desc)
+        if not self.frozen:
+            self._reservoir_add(desc)
             self._train_count += desc.shape[0]
-            if self._train_count >= self.train_size:
+            retrain = (
+                # initial training once enough material exists
+                (not self.trained and self._train_count >= self.train_size)
+                # periodic retrain so late-session scenery is representable
+                or (self.trained and self.retrain_every_docs > 0
+                    and self.n_docs - self._docs_at_train
+                    >= self.retrain_every_docs))
+            if retrain:
                 self.train_now()
                 if self.trained:
                     # train_now() -> _rebuild_all() already indexed THIS

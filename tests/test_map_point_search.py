@@ -1,0 +1,166 @@
+"""Map-point search / reassociation (reference: the SLAM module's map-point
+search + fusion lifecycle — its cmd surface ships -visualizeMapPointSearch;
+parameter family codegen/parameter_definitions.c:457-470).
+
+A landmark whose VIO track breaks (or that is re-seen on a revisit) must be
+re-associated with its EXISTING map point by projecting the local map into
+the new keyframe and matching ORB descriptors inside a reprojection window —
+not duplicated forever (VERDICT round-2 missing item 2)."""
+import numpy as np
+import pytest
+
+from hybvio_tpu.config import Parameters
+from hybvio_tpu.io.synthetic import SYNTH_IMU_TO_CAMERA, generate_sequence
+from hybvio_tpu.io.textured import TexturedScene, textured_frame_renderer
+from hybvio_tpu.slam.session import MapPoint, Slam
+
+W, H = 320, 240
+FX = 260.0
+
+
+def _cam_pose_cw(pos, quat):
+    """IMU pose -> camera-to-world 4x4 (same math as SlamCoupling)."""
+    from hybvio_tpu.io.synthetic import _np_quat_to_rmat
+
+    R = _np_quat_to_rmat(quat)  # world -> imu
+    w2c = SYNTH_IMU_TO_CAMERA[:3, :3] @ R
+    T = np.eye(4)
+    T[:3, :3] = w2c.T
+    T[:3, 3] = np.asarray(pos)
+    return T
+
+
+def _wall_landmarks(n=30, seed=3):
+    rng = np.random.RandomState(seed)
+    ang = rng.rand(n) * 2 * np.pi
+    z = rng.rand(n) * 2.0 - 1.0
+    return np.stack([5.5 * np.cos(ang), 5.5 * np.sin(ang), z], axis=1)
+
+
+def _drive_laps(slam, n_laps=3, kf_per_lap=16, exposure=True):
+    """Feed keyframes around a circular revisit trajectory; track ids BREAK
+    every lap (tid = lap*1000 + landmark index). Returns per-lap map-point
+    counts and the landmark->lap0-point-id mapping."""
+    from hybvio_tpu.io.synthetic import project_landmarks
+
+    # fast laps: ~pi seconds per lap at angular_speed 2.0
+    lap_s = np.pi / 2 * 2  # theta' -> 2.0 asymptotically
+    seq = generate_sequence(duration=lap_s * (n_laps + 0.3), imu_rate=50.0,
+                            frame_rate=kf_per_lap / lap_s, radius=2.0,
+                            angular_speed=2.0, seed=5, z_wobble=0.0)
+    scene = TexturedScene(seed=8, wall_radius=6.0)
+    render = textured_frame_renderer(
+        scene, seq, SYNTH_IMU_TO_CAMERA, FX, FX, W / 2, H / 2, W, H,
+        exposure_jitter=0.05 if exposure else 0.0,
+        pixel_noise=0.01 if exposure else 0.0)
+    landmarks = _wall_landmarks()
+
+    counts = []
+    F = len(seq.frame_sample_idx)
+    for fi in range(F):
+        lap = fi // kf_per_lap
+        k = seq.frame_sample_idx[fi]
+        pix, _z, vis = project_landmarks(
+            landmarks, seq.pos[k], seq.quat[k], SYNTH_IMU_TO_CAMERA,
+            FX, FX, W / 2, H / 2, W, H)
+        ids = np.where(vis, lap * 1000 + np.arange(len(landmarks)), -1)
+        norm = (pix - np.array([W / 2, H / 2])) / FX
+        slam.add_frame(render(fi), _cam_pose_cw(seq.pos[k], seq.quat[k]),
+                       ids[vis].astype(np.int32), norm[vis], float(seq.times[k]),
+                       fi, pix_pts=pix[vis])
+        if (fi + 1) % kf_per_lap == 0:
+            counts.append(len(slam.points))
+    return slam, counts
+
+
+def _params():
+    p = Parameters()
+    p.slam.keyframeDecisionAlways = True
+    p.slam.keyframeCullEnabled = False  # plateau must come from SEARCH alone
+    p.slam.cullMapPoints = False
+    p.slam.applyLocalBundleAdjustment = False
+    return p
+
+
+def test_reassociation_reuses_point_ids_across_track_breaks():
+    """(a) re-observed landmarks reuse their original point_id after a track
+    break; (b) the map-point count plateaus across laps WITHOUT keyframe
+    culling (VERDICT round-2 next-round item 3 done-criteria)."""
+    slam, counts = _drive_laps(Slam(_params()), n_laps=3)
+
+    # (b) plateau: without reassociation every lap adds ~counts[0] points
+    # (see test_no_descriptors_means_no_reassociation); with it, lap 2 may
+    # still add a few (descriptor banks filling) and lap 3 must be ~flat
+    assert counts[0] >= 10, counts  # sanity: lap 1 built a map
+    assert counts[-1] <= counts[0] * 1.7, counts
+    assert counts[-1] - counts[-2] <= 0.15 * counts[0], counts
+
+    # (a) the lap-3 track ids alias to the SAME points as lap 0, among
+    # landmarks that are matchable at all (a point triangulates only with
+    # >= 2 observations + parallax; a landmark seen once per lap has no
+    # position to search against — geometry, not a search failure)
+    reused = total = 0
+    for i in range(30):
+        p0 = slam.point_for_track(i)
+        p2 = slam.point_for_track(2000 + i)
+        if p0 is not None and p2 is not None and p0.triangulated:
+            total += 1
+            reused += int(p2.point_id == p0.point_id)
+    assert total >= 8, f"too few landmarks observed in both laps: {total}"
+    assert reused / total >= 0.75, (reused, total)
+
+
+def test_no_descriptors_means_no_reassociation():
+    """Without images/descriptors the search cannot match; every track break
+    duplicates points (the documented fallback behavior)."""
+    p = _params()
+    slam = Slam(p, compute_descriptors=False)
+    slam, counts = _drive_laps(slam, n_laps=2, exposure=False)
+    assert counts[-1] >= counts[0] * 1.8, counts
+
+
+def test_merge_matched_points_unions_observations_and_aliases():
+    """Post-loop fusion: RANSAC-verified pairs merge into the OLDER point;
+    track aliases and observations union; the newer point dies."""
+    slam = Slam(_params(), compute_descriptors=False)
+    a = MapPoint(point_id=1, track_id=7, position=np.zeros(3),
+                 observations={0: np.zeros(2)}, triangulated=True)
+    b = MapPoint(point_id=9, track_id=1007, position=np.ones(3),
+                 observations={4: np.ones(2)}, triangulated=True)
+    slam.points = {1: a, 9: b}
+    slam.track_to_point = {7: 1, 1007: 9}
+    slam._merge_matched_points([(1, 9)], np.array([True]))
+    assert 9 not in slam.points
+    keep = slam.points[1]
+    assert keep.observations.keys() == {0, 4}
+    assert slam.track_to_point[1007] == 1
+    assert keep.track_ids == {7, 1007}
+
+
+def test_fisheye_descriptor_pixels_use_real_camera_model():
+    """SlamCoupling projects feature pixels through the REAL camera: for a
+    KB4 fisheye the true pixel differs from the nominal-focal reconstruction
+    by many pixels at mid-FOV (VERDICT round-2 weak item 4)."""
+    import jax.numpy as jnp
+
+    from hybvio_tpu.geometry.cameras import build_fisheye, ray_to_pixel
+    from hybvio_tpu.odometry.slam_coupling import SlamCoupling
+
+    Wf = Hf = 512
+    cam = build_fisheye(190.0, 190.0, Wf / 2, Hf / 2,
+                        coeffs=(0.0035, 0.0007, -0.002, 0.0002),
+                        max_valid_fov_deg=150.0, width=Wf, height=Hf,
+                        dtype=jnp.float32)
+    p = Parameters()
+    p.slam.useSlam = True
+    coup = SlamCoupling(p, SYNTH_IMU_TO_CAMERA, use_thread=False, camera=cam)
+
+    norm = np.array([[0.9, 0.0], [0.0, -1.1], [0.6, 0.6]])
+    pix = coup._project_pixels(norm)
+    rays = np.concatenate([norm, np.ones((3, 1))], axis=1)
+    expected, ok = ray_to_pixel(cam, jnp.asarray(rays))
+    np.testing.assert_allclose(pix, np.asarray(expected), atol=1e-3)
+    assert bool(np.asarray(ok).all())
+    # nominal-focal reconstruction (the old fallback) is far off
+    fake = norm * (0.5 * (Hf + Wf) / 2) + np.array([Wf / 2, Hf / 2])
+    assert np.abs(fake - pix).max() > 20.0

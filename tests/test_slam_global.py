@@ -214,7 +214,12 @@ def _revisit_run(apply_loops: bool, n_loops_of_circle: int = 2):
     leg = [0.0, 0.35, 0.7, 1.05, 1.4, 1.05, 0.7, 0.35]
     gt_pos = []
     k = 0
-    drift_per_frame = 0.02
+    # drift must exceed the map-point-search reprojection window by the time
+    # of the first revisit (0.05*8 frames = 0.4 m > window*depth ~ 0.24 m):
+    # smaller drift is now legitimately absorbed by map-point reassociation
+    # (the local-map search), which would leave nothing for the loop-closure
+    # 3D-3D verification to verify — the loop pipeline owns the FAR-gap case
+    drift_per_frame = 0.05
     for lap in range(n_loops_of_circle):
         for y in leg:
             pos = np.array([0.0, y, 0.0])
