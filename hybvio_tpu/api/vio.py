@@ -57,12 +57,18 @@ class VioApi:
     """Build with build_vio(); feed samples; read outputs via on_output."""
 
     def __init__(self, params: Parameters, width: int, height: int,
-                 dtype=None, max_imu_per_frame: int = 64, jit: bool = True):
+                 dtype=None, max_imu_per_frame: int = 64, jit: bool = True,
+                 recording_only: bool = False):
         import jax
         import jax.numpy as jnp
 
         from ..odometry.vio import make_vio
 
+        # record inputs without running the algorithm (reference:
+        # DebugParameters::recordingOnly, internal.hpp:113-115 — the control
+        # pipeline is never built and every add* returns after recording,
+        # api.cpp:80,119,420,542,585)
+        self.recording_only = bool(recording_only)
         self.params = params
         self.derived = DerivedParameters.from_parameters(params)
         self.width, self.height = width, height
@@ -72,15 +78,21 @@ class VioApi:
             cams.append(build_camera_from_params(params.tracker, width, height, second=True, dtype=self._dtype))
         self.cameras = tuple(cams)
 
-        self._init_fn, vio_step = make_vio(
-            params, self.derived, self.cameras, dtype=self._dtype)
-        self._vio_step = jax.jit(vio_step) if jit else vio_step
-        self._imu_only = jax.jit(vio_step.imu_only) if jit else vio_step.imu_only
-        # staged programs for the '-timer' per-label report (reference:
-        # per-stage scope timers, ekf.cpp:355 / tracker.cpp:56,249 /
-        # ransac_pipeline.cpp:206-283, reported by main.cpp:1008-1016)
-        self._track_stage = jax.jit(vio_step.track_stage) if jit else vio_step.track_stage
-        self._backend_stage = jax.jit(vio_step.backend_stage) if jit else vio_step.backend_stage
+        if self.recording_only:
+            # no control pipeline at all (reference: api.cpp:80 passes a
+            # null Control); add* methods record and return
+            self._init_fn = self._vio_step = self._imu_only = None
+            self._track_stage = self._backend_stage = None
+        else:
+            self._init_fn, vio_step = make_vio(
+                params, self.derived, self.cameras, dtype=self._dtype)
+            self._vio_step = jax.jit(vio_step) if jit else vio_step
+            self._imu_only = jax.jit(vio_step.imu_only) if jit else vio_step.imu_only
+            # staged programs for the '-timer' per-label report (reference:
+            # per-stage scope timers, ekf.cpp:355 / tracker.cpp:56,249 /
+            # ransac_pipeline.cpp:206-283, reported by main.cpp:1008-1016)
+            self._track_stage = jax.jit(vio_step.track_stage) if jit else vio_step.track_stage
+            self._backend_stage = jax.jit(vio_step.backend_stage) if jit else vio_step.backend_stage
         self._jnp = jnp
 
         self.sample_sync = SampleSync(params.odometry)
@@ -143,7 +155,7 @@ class VioApi:
 
         # optional async SLAM backend (reference: slam.useSlam + applySlam)
         self.slam = None
-        if params.slam.useSlam:
+        if params.slam.useSlam and not self.recording_only:
             from ..odometry.slam_coupling import SlamCoupling
 
             self.slam = SlamCoupling(params, self.derived.imu_to_camera,
@@ -155,6 +167,8 @@ class VioApi:
         with self._lock:
             if self.recorder:
                 self.recorder.gyro(t, xyz)
+            if self.recording_only:
+                return  # (reference: api.cpp:119)
             self.sample_sync.add_sample_leader(t, xyz)
         self.process_pending()
 
@@ -162,6 +176,8 @@ class VioApi:
         with self._lock:
             if self.recorder:
                 self.recorder.acc(t, xyz)
+            if self.recording_only:
+                return
             self.sample_sync.add_sample_follower(t, xyz)
 
     def _to_gray(self, image):
@@ -202,12 +218,16 @@ class VioApi:
         with self._lock:
             if self.recorder:
                 self.recorder.frame(t, [image])
+            if self.recording_only:
+                return  # (reference: api.cpp:542,585)
             self.sample_sync.add_frame(t, first_image=self._to_gray(image))
 
     def add_frame_stereo(self, t: float, first, second) -> None:
         with self._lock:
             if self.recorder:
                 self.recorder.frame(t, [first, second])
+            if self.recording_only:
+                return
             self.sample_sync.add_frame(t, first_image=self._to_gray(first),
                                        second_image=self._to_gray(second))
 
@@ -472,26 +492,60 @@ class VioApi:
                 self.on_output(vo)
 
     def _handle_status_and_reset(self, out) -> None:
-        """Auto-reset logic (reference: control.cpp:117-150)."""
+        """Status latch + auto-reset table (reference: control.cpp:117-150).
+
+        Latch: any non-INIT session status is adopted as-is; the published
+        status never demotes back to INIT (a freshly reset session reports
+        INIT while the API keeps the latched status).
+
+        Reset table — first matching row wins:
+
+          status   condition                                   action
+          INIT     resetUntilInitSucceeds and timer expired    reset, fresh pose
+          any      resetOnFailedTracking and session LOST      reset, keep pose
+          >INIT    session reports INIT and timer expired      reset, keep pose
+
+        where `timer expired` = more than resetAfterTrackingFailsToInitialize
+        seconds since the last reset.
+        """
         po = self.params.odometry
         session_status = int(out.tracking_status)
-        if self._status == 0 or session_status != 0:
-            new_status = session_status if (self._status == 0 or session_status != 0) else self._status
-        else:
-            new_status = self._status
-        # prevent going back to INIT
-        if self._status != 0 and session_status == 0:
-            new_status = self._status
-        self._status = new_status
+        if session_status != 0:
+            self._status = session_status
 
         t = float(out.t)
-        timer_expired = self._last_reset_time + po.resetAfterTrackingFailsToInitialize < t
-        if self._status == 0 and timer_expired and po.resetUntilInitSucceeds:
+        timer_expired = (self._last_reset_time
+                         + po.resetAfterTrackingFailsToInitialize < t)
+        if self._status == 0 and po.resetUntilInitSucceeds and timer_expired:
             self.reset(keep_pose=False, t=t)
         elif po.resetOnFailedTracking and session_status == 2:
             self.reset(keep_pose=True, t=t)
         elif self._status != 0 and session_status == 0 and timer_expired:
             self.reset(keep_pose=True, t=t)
+
+    def attribute_stages(self, reps: int = 5) -> dict:
+        """Fold per-stage attribution into the `-timer` report: times the
+        front-end sub-programs (pyramids / LK / stereo match / detection /
+        each configured RANSAC variant) on the LAST processed frame's data
+        and records them via TimeStats.add_attribution, giving the
+        reference's per-label table (reference: main.cpp:1008-1016,
+        ransac_pipeline.cpp:206-283). Returns the {label: ms} dict."""
+        gray, second = self._last_images
+        if gray is None:
+            return {}
+        from ..utils.stage_attribution import attribute_stages
+
+        try:
+            labels = attribute_stages(self.params, self.cameras, gray, second,
+                                      reps=reps)
+        except Exception:  # attribution must never kill the exit report
+            import traceback
+
+            traceback.print_exc()
+            return {}
+        for k, ms in labels.items():
+            self.time_stats.add_attribution(k, ms)
+        return labels
 
     def lock_biases(self) -> None:
         """Freeze IMU bias estimates (reference: InternalAPI::lockBiases,

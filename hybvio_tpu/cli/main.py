@@ -637,6 +637,10 @@ def run(argv=None) -> int:
     print(f"processed {n_frames} frames, {n_out[0]} outputs in {elapsed:.1f}s "
           f"({n_frames / max(elapsed, 1e-9):.1f} fps)", file=sys.stderr)
     if main_flags.get("timer"):
+        # per-stage attribution on the session's own last frame (pyramids /
+        # LK / stereo match / detection / RANSAC variants) so the report
+        # carries the reference's per-label table (main.cpp:1008-1016)
+        api.attribute_stages()
         print(api.time_stats.report(), file=sys.stderr)
     if api.output_buffer is not None:
         # buffered-output statistics (reference: OutputBuffer FPS / latency

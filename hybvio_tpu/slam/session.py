@@ -778,23 +778,24 @@ class Slam:
         # REPLACES its edge instead of stacking ever more 10x-weight edges
         # (unbounded loop_edges growth, VERDICT round-2 weak item 5)
         edge = LoopEdge(cand.kf_id, kf.kf_id, rel)
-        repeat = False
         for k, le in enumerate(self.loop_edges):
             if (le.kf_a, le.kf_b) == (cand.kf_id, kf.kf_id):
                 self.loop_edges[k] = edge
-                repeat = True
                 break
         else:
             self.loop_edges.append(edge)
 
-        # schedule the global solve: a REPEATED closure of an already-closed
-        # loop only re-runs the dense pose graph when the implied correction
-        # is still significant; the refreshed edge is kept for end() either
-        # way (bounds per-keyframe cost on laps over the same loop)
-        significant = drift_m > 0.05 * ps.maximumDriftMetersPerSecond * dt
+        # schedule the global solve: the dense pose graph over ALL keyframes
+        # re-runs only when the verified correction is SIGNIFICANT relative
+        # to the scene scale — laps over an already-consistent loop keep
+        # recording (deduped) edges for end() but skip the solve, bounding
+        # per-keyframe cost (a revisit pairs each new keyframe with a new
+        # old keyframe, so gating on pair novelty alone would not bound it)
+        significant = (drift_m > max(0.01 * max(scene, 1.0), 0.02)
+                       or ang > 0.01)
         if ps.loopClosureRigidTransform:
             self._apply_loop_correction(R, tvec, s, since_kf=cand.kf_id)
-        elif not repeat or significant:
+        elif significant:
             # pose-graph over ALL keyframes with the loop edges (default)
             self._pose_graph_all(extra_edges=self.loop_edges,
                                  iterations=self.ps.poseBAIterations + 5)

@@ -47,21 +47,38 @@ class TimeStats:
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 
+    def add_attribution(self, name: str, ms_per_frame: float) -> None:
+        """Record an externally measured per-frame stage time.
+
+        The fused XLA programs cannot be scope-timed from the host mid-frame
+        (the reference scope-times inside its single thread,
+        ransac_pipeline.cpp:206-283); stage attribution instead times
+        dedicated sub-programs on the session's own data
+        (utils/stage_attribution.py) and folds the result in here so the
+        `-timer` report carries the reference's per-label table."""
+        self._attrib = getattr(self, "_attrib", {})
+        self._attrib[name] = ms_per_frame
+
     def per_frame_timings(self) -> Dict[str, float]:
         """Mean milliseconds per frame per label (reference:
         TimeStats::perFrameTimings)."""
         n = max(self.frames, 1)
-        return {k: 1000.0 * v / n for k, v in sorted(self.totals.items())}
+        out = {k: 1000.0 * v / n for k, v in sorted(self.totals.items())}
+        out.update(getattr(self, "_attrib", {}))
+        return out
 
     def report(self) -> str:
         lines = [f"--- per-frame timings over {self.frames} frames ---"]
+        attrib = getattr(self, "_attrib", {})
         for k, ms in self.per_frame_timings().items():
-            lines.append(f"{ms:10.3f} ms  {k}  (x{self.counts[k]})")
+            tag = "  [attributed]" if k in attrib else f"  (x{self.counts[k]})"
+            lines.append(f"{ms:10.3f} ms  {k}{tag}")
         return "\n".join(lines)
 
     def reset(self) -> None:
         self.totals.clear()
         self.counts.clear()
+        self._attrib = {}
         self.frames = 0
 
 

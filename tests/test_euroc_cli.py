@@ -67,3 +67,36 @@ def test_cli_on_euroc_layout(euroc_dataset, tmp_path):
     ate = ate_rmse(est[:, 1:4], gt_at)
     assert np.isfinite(est).all()
     assert ate < 0.12, ate
+
+
+@pytest.mark.slow
+def test_stereo_cli_timer_reports_stage_labels(tmp_path):
+    """-timer on a stereo run prints the reference-style per-label table
+    (reference: main.cpp:1008-1016 — KF predict, optical flow, keypoint
+    detection, each RANSAC variant): >= 7 stage labels, mixing the real
+    per-frame scopes with the attributed sub-program timings."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_synthetic_dataset import make_euroc_dataset
+
+    data = str(tmp_path / "euroc_stereo")
+    make_euroc_dataset(data, duration=2.5, stereo=True)
+    out_path = str(tmp_path / "out.jsonl")
+    env = dict(os.environ)
+    env["HYBVIO_PLATFORM"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "hybvio_tpu.cli.main",
+         f"-i={data}", f"-o={out_path}", "-timer", "-useStereo",
+         "-tracker.maxTracks=32", "-odometry.cameraTrailLength=6",
+         "-tracker.pyrLKMaxLevel=2"],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.join(os.path.dirname(__file__), ".."), env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert "per-frame timings" in r.stderr
+    report = r.stderr[r.stderr.index("per-frame timings"):]
+    labels = [l.split("ms", 1)[1].strip() for l in report.splitlines()
+              if " ms  " in l]
+    assert len(labels) >= 7, labels
+    text = "\n".join(labels)
+    for needle in ("KF predict", "optical flow", "keypoint detection",
+                   "ransac2", "stereo", "pyramids", "visual update"):
+        assert needle in text, (needle, labels)

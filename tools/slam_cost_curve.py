@@ -42,7 +42,18 @@ def run(n_kf: int = 200, descriptors: bool = False, kf_per_lap: int = 25,
     landmarks = np.stack(
         [5.5 * np.cos(ang_l), 5.5 * np.sin(ang_l), z_l], axis=1)
 
-    img = (0.3 + 0.2 * rng.rand(240, 320)).astype(np.float32) if descriptors else None
+    def blob_image(ip, vis):
+        """Blob render at feature projections so ORB descriptors are
+        meaningful and loop closures actually fire."""
+        img = np.full((240, 320), 0.3, np.float32)
+        px = ip * 260.0 + np.array([160.0, 120.0])
+        for i in np.where(vis)[0]:
+            u, v = px[i]
+            if 8 <= u < 312 and 8 <= v < 232:
+                iu, iv = int(u), int(v)
+                amp = 0.5 if i % 2 == 0 else -0.2
+                img[max(iv - 2, 0):iv + 3, max(iu - 2, 0):iu + 3] += amp
+        return np.clip(img, 0, 1)
 
     lat_ms = []
     for k in range(n_kf):
@@ -52,7 +63,6 @@ def run(n_kf: int = 200, descriptors: bool = False, kf_per_lap: int = 25,
         # camera looks outward (+z cam = radial)
         c, s = np.cos(th), np.sin(th)
         T = np.eye(4)
-        T[:3, :3] = np.array([[-s, 0, c], [c, 0, s], [0, -1, 0]]).T.T
         T[:3, 0] = [-s, c, 0]
         T[:3, 1] = [0, 0, -1]
         T[:3, 2] = [c, s, 0]
@@ -63,15 +73,19 @@ def run(n_kf: int = 200, descriptors: bool = False, kf_per_lap: int = 25,
         ip = Xc[:, :2] / np.where(vis, Xc[:, 2], 1.0)[:, None]
         vis &= (np.abs(ip) < 0.6).all(axis=1)
         ids = np.where(vis, lap * 10000 + np.arange(n_landmarks), -1)
+        img = blob_image(ip, vis) if descriptors else None
         t0 = time.perf_counter()
         slam.add_frame(img, T, ids[vis].astype(np.int32), ip[vis],
                        t=float(k) * 0.5, frame_num=k)
         lat_ms.append(1000.0 * (time.perf_counter() - t0))
 
     lat = np.asarray(lat_ms)
+    warm = 5  # exclude jit compiles of the BA/pose-graph/ORB programs
+    lat_w = lat.copy()
+    lat_w[:warm] = np.median(lat)
     q = max(n_kf // 4, 1)
     buckets = [f"kf {i * q}-{(i + 1) * q - 1}" for i in range(4)]
-    per_bucket = [round(float(np.mean(lat[i * q:(i + 1) * q])), 2)
+    per_bucket = [round(float(np.mean(lat_w[i * q:(i + 1) * q])), 2)
                   for i in range(4)]
     return {
         "n_keyframes": n_kf,
