@@ -23,6 +23,27 @@ from .state import BGA, CAM, ORI, POS, POSE_DIM, SFT, VEL, EKFState
 # when the rest of the program (image front-end) uses the fast default.
 _PREC = jax.lax.Precision.HIGHEST
 
+# Visual-update covariance downdate form, measured on the textured mono
+# probe (CPU f32 ATE) and the high-noise blob stress test
+# (tests/test_precision.py::test_f32_matches_f64):
+#   plain P - K'HP (round 2):     texture CHAOTIC 0.126-0.188 m across
+#                                 matmul-precision modes
+#   plain + symmetrize (DEFAULT): texture 0.146 m CPU / 0.095-0.136 m TPU
+#                                 across modes, stress test passes
+#   Joseph (I-KH)P(I-KH)'+K R K': texture 0.088 m (best) but DIVERGES the
+#                                 stress test: P's diagonal spans 1e-8..1e8
+#                                 (uninitialized trail poses hold 1e8 prior
+#                                 variance), and the dense triple product's
+#                                 f32 absolute error ~|P|_max*eps drives P
+#                                 indefinite within 10 frames — even with
+#                                 diagonal equilibration. Safe only with a
+#                                 bounded-dynamic-range P (sqrt/UD filter
+#                                 territory); kept behind this flag.
+#   f64:                          texture 0.048 m (reference anchor: the C++
+#                                 filter runs f64 Joseph + symmetrization,
+#                                 ekf.cpp:848-885,1024-1067)
+JOSEPH_FORM = False
+
 
 def pdot(a, b):
     return jnp.matmul(a, b, precision=_PREC)
@@ -231,7 +252,25 @@ def visual_track_update(
     S = HPHt + r * eye
     K = solve_innovation(S, HP)  # (n,d)
     m_new = m + pdot(K.T, v[:, None])[:, 0]
-    P_new = P - pdot(K.T, HP)
+    if JOSEPH_FORM:
+        # EQUILIBRATED Joseph: P's diagonal spans ~1e-6..1e6+ (uninitialized
+        # trail/map blocks sit at large prior variance), and the raw triple
+        # product (I-KH) P (I-KH)' mixes those scales — f32 absolute error
+        # ~|P|_max * eps drove P indefinite within 10 frames on the blob
+        # stress test (tests/test_precision.py). Normalizing by
+        # D = diag(sqrt(P_ii)) puts the product's operands at O(1)
+        # (P_n has unit diagonal, |P_n_ij| <= 1), so the same f32 matmuls
+        # are ~1e-7 RELATIVE. P+ = D (M P_n M') D + r K'K with
+        # M = I - D^-1 K' H D.
+        s = jnp.sqrt(jnp.clip(jnp.diag(P), 1e-12, None))
+        Pn = P / (s[:, None] * s[None, :])
+        M = jnp.eye(P.shape[0], dtype=dtype) - pdot(K.T * (1.0 / s)[:, None],
+                                                    H * s[None, :])
+        P_new = (pdot(pdot(M, Pn), M.T) * (s[:, None] * s[None, :])
+                 + r * pdot(K.T, K))
+    else:
+        P_new = P - pdot(K.T, HP)
+    P_new = 0.5 * (P_new + P_new.T)
     m_new = _normalize_current_quat(m_new)
 
     do = (is_inlier & apply_update

@@ -54,17 +54,19 @@ KB4_PROBE = (0.0035, 0.0007, -0.002, 0.0002)  # bench.py fisheye family
 def run_textured_probe(duration: float = 6.0, seed: int = 8,
                        width: int = 320, height: int = 240,
                        fx: float = 260.0, dtype=None,
-                       stereo: bool = False, fisheye: bool = False) -> dict:
+                       stereo: bool = False, fisheye: bool = False,
+                       precision: str = "highest") -> dict:
     """Run mono / stereo / fisheye VIO end-to-end on the textured world;
     return a result dict {"ate_rmse_m", "frames", "finite"}. Deterministic
     for a given seed. fisheye renders THROUGH the KB4 equidistant model
     (the BASELINE config-4 family) and runs the fisheye camera pipeline.
 
-    Matmul precision is pinned to 'highest' (the EKF production/bench mode,
-    bench.py) so the result does not depend on ambient jax config: the ATE
-    on this hard regime is chaotic across precision modes (measured 0.126
-    under default precision vs 0.188 under 'highest', each bit-stable across
-    CPU and TPU backends)."""
+    Matmul precision defaults to 'highest' (the EKF production/bench mode,
+    bench.py) so the result does not depend on ambient jax config; the
+    `precision` arg sweeps other modes. With the symmetrized covariance
+    downdate (ekf/update.py, JOSEPH_FORM table) mono measures 0.146 m CPU
+    f32 / 0.095-0.136 m TPU f32 across precision modes; f64 anchor 0.048 m. The round-2
+    band was chaotic (0.126-0.188 m across precision modes)."""
     import jax
     import jax.numpy as jnp
 
@@ -80,7 +82,7 @@ def run_textured_probe(duration: float = 6.0, seed: int = 8,
     if fisheye:
         width = height = 320
         fx = 120.0  # wide FOV over the same 320-px sensor
-    with jax.default_matmul_precision("highest"):
+    with jax.default_matmul_precision(precision):
         return _run(duration, seed, width, height, fx, dtype, stereo, fisheye)
 
 
