@@ -418,6 +418,17 @@ class VioApi:
             self._state, out = self._vio_step(
                 self._state, batch, jnp.asarray(image, jnp.float32))
 
+        # One batched D2H for the whole per-frame output: downstream host
+        # logic (status machine, SLAM submit, output conversion, viz taps)
+        # reads a dozen separate fields; fetching them one np.asarray at a
+        # time costs a full device round trip EACH, which dominates the
+        # full-API frame latency when the device sits behind a high-latency
+        # tunnel. device_get starts all copies async, then gathers: one
+        # round-trip latency total.
+        import jax as _jax
+
+        out = _jax.device_get(out)
+
         # time-shift feedback into sample sync (reference: control.cpp:97-106)
         if self.params.odometry.estimateImuCameraTimeShift:
             shift = float(self._state.backend.ekf.m[19])
