@@ -27,15 +27,23 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timeit(fn, args, reps):
+def _fetch(out):
+    # end timing on a VALUE fetch: over the remote-TPU tunnel
+    # block_until_ready can return at enqueue (see bench.py), and only a
+    # D2H of real data observes completion of the queued chain
     import jax
 
+    leaf = jax.tree_util.tree_leaves(out)[0]
+    return np.asarray(leaf).ravel()[0]
+
+
+def timeit(fn, args, reps):
     out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _fetch(out)
     return 1000.0 * (time.perf_counter() - t0) / reps
 
 
