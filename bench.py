@@ -284,13 +284,20 @@ def run_batched(p, derived, cams, seq, frames, F, B, dtype, config):
     from hybvio_tpu.odometry.backend import ImuBatch
     from hybvio_tpu.parallel.batched import make_batched_vio
 
+    # shared_frames: one staged copy per frame, broadcast across lanes inside
+    # the jitted step (vmap in_axes=None) — B-fold less frame HBM than
+    # tiling, which is what caps B on a 16 GB chip (BENCH_SHARED_FRAMES=0
+    # restores the tiled path for comparison)
+    shared = os.environ.get("BENCH_SHARED_FRAMES", "1") != "0"
     batched_init, batched_step = make_batched_vio(
         p, derived, cams, batch_size=B, max_tracks=p.tracker.maxTracks,
-        dtype=dtype)
+        dtype=dtype, shared_frames=shared)
 
     rng = np.random.RandomState(1)
 
     def tile(frame):
+        if shared:
+            return frame  # already staged unbatched by the caller
         if isinstance(frame, tuple):
             return tuple(jax.device_put(jnp.broadcast_to(f, (B,) + f.shape))
                          for f in frame)

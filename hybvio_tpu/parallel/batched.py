@@ -21,35 +21,50 @@ from ..odometry.vio import make_vio
 
 def make_batched_vio(params, derived, cameras, batch_size: int,
                      max_tracks: Optional[int] = None, dtype=jnp.float32,
-                     mesh: Optional[Mesh] = None):
+                     mesh: Optional[Mesh] = None, shared_frames: bool = False):
     """Build (batched_init, batched_step) where every state/input leaf gains a
     leading batch axis of size batch_size, optionally sharded over mesh
-    ('data',)."""
+    ('data',).
+
+    shared_frames=True takes ONE unbatched frame per step and broadcasts it
+    across the B lanes INSIDE the jitted step (vmap in_axes=None): the
+    broadcast is fused into the first consumer, so HBM holds one copy of each
+    staged frame instead of B. At 752x480 stereo f32 that is ~2.9 MB/frame
+    vs ~46 MB/frame at B=16 — the difference between a ~300-frame staged
+    bench fitting comfortably and hitting the HBM ceiling, and it unlocks
+    B=32/64. Per-lane IMU still carries the batch axis, so lane states
+    diverge normally."""
     init_fn, vio_step = make_vio(params, derived, cameras,
                                  max_tracks=max_tracks, dtype=dtype)
 
     def batched_init(first_images, t0s, seeds):
-        """first_images: (B, H, W) or a ((B,H,W), (B,H,W)) stereo pair;
-        t0s: (B,); seeds: (B,) int."""
+        """first_images: (B, H, W) or a ((B,H,W), (B,H,W)) stereo pair —
+        unbatched (H, W) / pair when shared_frames; t0s: (B,); seeds: (B,)
+        int."""
         keys = jax.vmap(jax.random.PRNGKey)(jnp.asarray(seeds, jnp.uint32))
         if isinstance(first_images, (tuple, list)):
             imgs = tuple(jnp.asarray(f) for f in first_images)
         else:
             imgs = jnp.asarray(first_images)
-        states = jax.vmap(lambda img, t0, k: init_fn(img, t0, k))(
+        img_axes = None if shared_frames else 0
+        states = jax.vmap(lambda img, t0, k: init_fn(img, t0, k),
+                          in_axes=(img_axes, 0, 0))(
             imgs, jnp.asarray(t0s, dtype), keys)
         if mesh is not None:
             sharding = NamedSharding(mesh, P("data"))
             states = jax.device_put(states, sharding)
         return states
 
-    vstep = jax.vmap(vio_step)
+    frame_axes = None if shared_frames else 0
+    vstep = jax.vmap(vio_step, in_axes=(0, 0, frame_axes))
 
     if mesh is not None:
         sharding = NamedSharding(mesh, P("data"))
+        # shared frames are replicated across the mesh (P() = no partition)
+        frame_sh = NamedSharding(mesh, P()) if shared_frames else sharding
         batched_step = jax.jit(
             vstep,
-            in_shardings=(sharding, sharding, sharding),
+            in_shardings=(sharding, sharding, frame_sh),
             out_shardings=(sharding, sharding),
         )
     else:

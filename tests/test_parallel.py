@@ -62,6 +62,43 @@ def run_steps(mesh, B=8, steps=3):
     return np.asarray(out.position), np.asarray(states.backend.ekf.m)
 
 
+def test_shared_frames_matches_tiled():
+    """shared_frames=True (one unbatched frame broadcast inside the jitted
+    step) must reproduce the tiled path bit-for-bit: same computation, the
+    broadcast just moves from HBM staging into the vmap."""
+    p, derived, cam = tiny_setup()
+    B, steps, S = 4, 3, 6
+    rng = np.random.RandomState(3)
+    imgs = jnp.asarray(rng.rand(steps + 1, 64, 96), jnp.float32)
+    gyro = jnp.asarray(0.02 * rng.randn(steps, B, S, 3), jnp.float32)
+
+    results = {}
+    for shared in (True, False):
+        binit, bstep = make_batched_vio(p, derived, (cam,), batch_size=B,
+                                        max_tracks=12, dtype=jnp.float32,
+                                        shared_frames=shared)
+        first = imgs[0] if shared else jnp.broadcast_to(imgs[0], (B, 64, 96))
+        states = binit(first, np.full(B, 10.0), np.arange(B))
+        for k in range(steps):
+            imu = ImuBatch(
+                t=jnp.asarray(np.tile(10.0 + (k * S + 1 + np.arange(S)) * 0.005,
+                                      (B, 1)), jnp.float32),
+                gyro=gyro[k],
+                acc=jnp.asarray(np.tile([0.0, 0.0, 9.819], (B, S, 1)),
+                                jnp.float32),
+                valid=jnp.ones((B, S), bool),
+            )
+            img = imgs[k + 1] if shared else jnp.broadcast_to(
+                imgs[k + 1], (B, 64, 96))
+            states, out = bstep(states, imu, img)
+        results[shared] = (np.asarray(out.position),
+                           np.asarray(states.backend.ekf.m))
+    np.testing.assert_allclose(results[True][0], results[False][0],
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(results[True][1], results[False][1],
+                               rtol=1e-6, atol=1e-8)
+
+
 @pytest.mark.slow
 def test_mesh_sharded_matches_unsharded():
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
