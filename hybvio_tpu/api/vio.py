@@ -72,7 +72,12 @@ class VioApi:
         self.params = params
         self.derived = DerivedParameters.from_parameters(params)
         self.width, self.height = width, height
-        self._dtype = dtype or jnp.float64
+        # the reference filter runs f64 (ekf.cpp); honor that only when JAX
+        # x64 is actually enabled — otherwise jnp.float64 silently truncates
+        # to f32 at every zeros/asarray with a UserWarning per call site
+        if dtype is None:
+            dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+        self._dtype = dtype
         cams = [build_camera_from_params(params.tracker, width, height, dtype=self._dtype)]
         if params.tracker.useStereo:
             cams.append(build_camera_from_params(params.tracker, width, height, second=True, dtype=self._dtype))

@@ -31,9 +31,15 @@ class VioState(NamedTuple):
     tracker_ready: jnp.ndarray  # () bool
 
 
-def make_vio(params, derived, cameras, max_tracks=None, dtype=jnp.float64,
+def make_vio(params, derived, cameras, max_tracks=None, dtype=None,
              image_dtype=jnp.float32):
-    """Build (init_fn(first_image), vio_step(state, imu_batch, image))."""
+    """Build (init_fn(first_image), vio_step(state, imu_batch, image)).
+
+    dtype=None resolves to float64 when JAX x64 is enabled (the reference
+    filter's precision, ekf.cpp) and float32 otherwise — requesting f64
+    without x64 would silently truncate to f32 with per-site warnings."""
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     po = params.odometry
     pt = params.tracker
     T = max_tracks if max_tracks is not None else pt.maxTracks
