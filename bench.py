@@ -345,9 +345,9 @@ def run_batched(p, derived, cams, seq, frames, F, B, dtype, config):
     # return at enqueue, which would measure dispatch instead of execution.
     # The steps chain through `states`, so the last output completing means
     # every step completed.
-    last_pos = np.asarray(positions[-1])
+    last_pos = np.asarray(positions[-1])  # the value fetch forces D2H
     elapsed = _time.perf_counter() - t0
-    assert np.isfinite(last_pos).any() or True  # keep the fetch live
+    del last_pos
 
     agg_fps = B * (F - 1) / elapsed
     est = np.stack([np.asarray(x) for x in positions])  # (F-1, B, 3)

@@ -196,7 +196,12 @@ class VioApi:
         if isinstance(image, jax.Array) and image.ndim == 2:
             import jax.numpy as jnp
 
-            return image if image.dtype == jnp.float32 else image.astype(jnp.float32)
+            if image.dtype == jnp.float32:
+                return image
+            if jnp.issubdtype(image.dtype, jnp.integer):
+                # mirror the host-path semantics: integer frames are 0-255
+                return image.astype(jnp.float32) / 255.0
+            return image.astype(jnp.float32)
         a = np.asarray(image)
         if a.ndim == 3 and a.shape[-1] in (3, 4):
             # color input -> reference luma conversion (image.cpp:345-367)

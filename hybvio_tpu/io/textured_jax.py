@@ -224,7 +224,7 @@ def make_textured_renderer(scene: TexturedScene, imu_to_camera,
 
     prog_key = (_scene_key(scene), width, height, fx, fy, cx, cy,
                 tuple(fisheye_coeffs) if fisheye_coeffs is not None else None,
-                motion_blur, pixel_noise > 0)
+                motion_blur, float(pixel_noise))
     if prog_key not in _PROGRAM_CACHE:
         _PROGRAM_CACHE[prog_key] = jax.jit(
             jax.vmap(render_frame, in_axes=(None, None, 0, 0, 0, 0, 0, 0, 0)))

@@ -809,7 +809,8 @@ class Slam:
 
     def _merge_matched_points(self, pair_pts, inlier_mask) -> None:
         for k, (pid_a, pid_b) in enumerate(pair_pts):
-            if k < len(inlier_mask) and not inlier_mask[k]:
+            # fail closed: only merge pairs the RANSAC inlier mask vouches for
+            if k >= len(inlier_mask) or not inlier_mask[k]:
                 continue
             mpa, mpb = self.points.get(pid_a), self.points.get(pid_b)
             if mpa is None or mpb is None or mpa is mpb:
