@@ -16,10 +16,8 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from ..geometry.quaternion import quat_to_rmat, rmat_to_quat
+from ..slam.host import host_jit, np_quat_to_rmat, np_rmat_to_quat
 from ..slam.session import Slam, SlamResult, mat_to_pose, pose_to_mat
-
-import jax.numpy as jnp
 
 
 def _np_remove_z_tilt(R):
@@ -65,9 +63,8 @@ class SlamOdometryCoordinateTransformer:
             return pos, quat
         R = self.T[:3, :3]
         p = R @ np.asarray(pos) + self.T[:3, 3]
-        Rq = np.asarray(quat_to_rmat(jnp.asarray(quat)))  # world->imu
-        Rq_new = Rq @ R.T
-        q = np.asarray(rmat_to_quat(jnp.asarray(Rq_new)))
+        Rq = np_quat_to_rmat(np.asarray(quat))  # world->imu
+        q = np_rmat_to_quat(Rq @ R.T)
         return p, q
 
 
@@ -88,8 +85,16 @@ class SlamCoupling:
         self.i2c = np.asarray(imu_to_camera)
         # the real camera model: used to place ORB descriptor patches at the
         # TRUE pixel positions of the tracker features (a nominal-focal
-        # reconstruction is wrong across most of a fisheye FOV)
+        # reconstruction is wrong across most of a fisheye FOV). Converted to
+        # host-resident leaves once: the projection runs on the CPU backend
+        # at keyframe rate (slam/host.py), and device-committed camera fields
+        # would pull it back onto the accelerator.
+        if camera is not None:
+            import jax
+
+            camera = jax.tree_util.tree_map(np.asarray, camera)
         self.camera = camera
+        self._ray_to_pixel = None
         self.interval = max(int(ps.keyframeCandidateInterval), 1)
         self.delay_mult = ps.delayIntervalMultiplier
         self.coord = SlamOdometryCoordinateTransformer(ps.removeOdometryTransformZAxisTilt)
@@ -99,22 +104,38 @@ class SlamCoupling:
         self.pool = (concurrent.futures.ThreadPoolExecutor(max_workers=1)
                      if use_thread else None)
         self.point_cloud: List[Tuple[int, int, np.ndarray]] = []
+        # backlog policy: with the async worker, ingestion NEVER blocks on
+        # SLAM (reference contract: real-time odometry with an async SLAM
+        # thread, backend.cpp:507-518). If the worker falls behind by more
+        # than max_backlog submissions past the delay contract, new keyframe
+        # candidates are DROPPED — the analog of sample sync's smart frame
+        # limiter (reference: sample_sync.cpp:140-162) — and counted.
+        self.max_backlog = 2
+        self.dropped = 0
 
     def _project_pixels(self, norm_pts: np.ndarray) -> np.ndarray:
         """Normalized points -> pixels through the REAL camera model
         (reference: the SLAM module samples ORB on the distorted image at the
         feature's actual pixel; with a KB4 fisheye the nominal-focal fallback
-        is off by tens of pixels at mid-FOV)."""
+        is off by tens of pixels at mid-FOV). Host CPU program: pad to a
+        static count so the jit reuses one compilation."""
         from ..geometry.cameras import ray_to_pixel
 
-        rays = np.concatenate(
-            [norm_pts, np.ones((len(norm_pts), 1))], axis=1)
-        pix, _ok = ray_to_pixel(self.camera, jnp.asarray(rays))
-        return np.asarray(pix)
+        if self._ray_to_pixel is None:
+            self._ray_to_pixel = host_jit(ray_to_pixel)
+        n = len(norm_pts)
+        PAD = 256
+        P = PAD
+        while P < n:
+            P *= 2
+        rays = np.ones((P, 3), np.float32)
+        rays[:n, :2] = norm_pts
+        pix, _ok = self._ray_to_pixel(self.camera, rays)
+        return np.asarray(pix)[:n]
 
     def imu_pose_to_camera_cw(self, pos, quat) -> np.ndarray:
         """IMU pose (world->imu q) -> camera-to-world 4x4."""
-        R = np.asarray(quat_to_rmat(jnp.asarray(quat)))  # world -> imu
+        R = np_quat_to_rmat(np.asarray(quat))  # world -> imu
         w2c = self.i2c[:3, :3] @ R
         t = -w2c @ np.asarray(pos) + self.i2c[:3, 3]
         T = np.eye(4)
@@ -132,9 +153,20 @@ class SlamCoupling:
 
         # consume delayed results first (reference: backend.cpp:405-434)
         max_pending = max(self.delay_mult, 0)
-        while len(self.pending) > max_pending or (
-                self.pending and self.delay_mult < 0):
-            self._consume(self.pending.pop(0))
+        if self.delay_mult < 0:
+            # synchronous contract (delayIntervalMultiplier < 0,
+            # backend.cpp:416,514-517): block for every result
+            while self.pending:
+                self._consume(self.pending.pop(0))
+        else:
+            # async contract: consume results past their delay that are
+            # READY; never stall frame ingestion on the SLAM worker
+            while len(self.pending) > max_pending and (
+                    self.pool is None or self.pending[0].future.done()):
+                self._consume(self.pending.pop(0))
+            if len(self.pending) > max_pending + self.max_backlog:
+                self.dropped += 1
+                return False
 
         def work(img=image, ocw=odo_cw, ids=np.array(track_ids), pts=np.array(norm_pts),
                  tt=float(t), fn=int(frame_num)):

@@ -100,9 +100,14 @@ def ransac_similarity_np(src, dst, seed: int = 0, n_hyp: int = 100,
     sp = np.zeros((P, 3)); sp[:M] = src
     dp = np.zeros((P, 3)); dp[:M] = dst
     vp = np.zeros(P, bool); vp[:M] = True
-    key = jax.random.PRNGKey(seed)
-    R, t, s, inl, n = ransac_similarity(
-        jnp.asarray(sp), jnp.asarray(dp), jnp.asarray(vp), key,
-        n_hyp=n_hyp, threshold=threshold, with_scale=with_scale)
+    # host CPU execution: loop-closure verification is keyframe-rate with
+    # tiny shapes (see slam/host.py)
+    from .host import cpu_device
+
+    with jax.default_device(cpu_device()):
+        key = jax.random.PRNGKey(seed)
+        R, t, s, inl, n = ransac_similarity(
+            jnp.asarray(sp), jnp.asarray(dp), jnp.asarray(vp), key,
+            n_hyp=n_hyp, threshold=threshold, with_scale=with_scale)
     return (np.asarray(R), np.asarray(t), float(s),
             np.asarray(inl)[:M], int(n))

@@ -34,22 +34,14 @@ from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
-from ..geometry.quaternion import quat_to_rmat, rmat_to_quat
-from .ba import BAProblem, _relative_pose, ba_iterate
+from .ba import BAProblem, ba_iterate
+from .host import (host_jit, np_quat_to_rmat as _np_quat_to_rmat,
+                   np_relative_pose, np_rmat_to_quat)
 
-import jax
-import jax.numpy as jnp
-
-
-def _np_quat_to_rmat(q):
-    import numpy as _np
-
-    w, x, y, z = q
-    return _np.array([
-        [w*w + x*x - y*y - z*z, 2*(x*y - w*z), 2*(x*z + w*y)],
-        [2*(x*y + w*z), w*w - x*x + y*y - z*z, 2*(y*z - w*x)],
-        [2*(x*z - w*y), 2*(y*z + w*x), w*w - x*x - y*y + z*z],
-    ])
+# All math in this module executes on the HOST (numpy + CPU-backend jit, see
+# slam/host.py): the SLAM module is keyframe-rate with tiny shapes, and the
+# reference runs it on a dedicated CPU thread (slam.slamThread). Only the
+# opt-in multi-chip BA (set_ba_mesh) touches the accelerator.
 
 
 def pose_to_mat(pose7: np.ndarray) -> np.ndarray:
@@ -61,8 +53,7 @@ def pose_to_mat(pose7: np.ndarray) -> np.ndarray:
 
 
 def mat_to_pose(T: np.ndarray) -> np.ndarray:
-    q = np.asarray(rmat_to_quat(jnp.asarray(T[:3, :3])))
-    return np.concatenate([T[:3, 3], q])
+    return np.concatenate([T[:3, 3], np_rmat_to_quat(T[:3, :3])])
 
 
 @dataclasses.dataclass
@@ -171,6 +162,8 @@ class Slam:
         self.loop_edges: List[LoopEdge] = []
         self._ba_jit = None
         self._orb_jit = None
+        self._match_jit = None
+        self._pg_jit = None
         self._last_kf_time = -1e18
         self._loop_seed = 0
         # keep half-res keyframe images + descriptor pixel positions for the
@@ -300,7 +293,7 @@ class Slam:
                 for kid in self.kf_order:
                     kf = self.keyframes[kid]
                     T = pose_to_mat(kf.pose)  # camera-to-world
-                    q = np.asarray(rmat_to_quat(jnp.asarray(T[:3, :3])))
+                    q = np_rmat_to_quat(T[:3, :3])
                     f.write(json.dumps({
                         "time": float(kf.t),
                         "position": {"x": float(T[0, 3]), "y": float(T[1, 3]),
@@ -358,7 +351,9 @@ class Slam:
                 f = 0.5 * (H + W) / 2
                 pts = pts * f + np.array([W / 2, H / 2])
         if self._orb_jit is None:
-            self._orb_jit = jax.jit(orb_descriptors)
+            # host CPU jit: keyframe-rate image sampling, reference runs it
+            # on the SLAM thread (see slam/host.py)
+            self._orb_jit = host_jit(orb_descriptors)
         # pad to a static size for jit reuse
         PAD = 256
         ppad = np.zeros((PAD, 2), np.float32)
@@ -366,7 +361,7 @@ class Slam:
         n = min(F, PAD)
         ppad[:n] = pts[:n]
         vpad[:n] = True
-        desc, ok = self._orb_jit(jnp.asarray(image, jnp.float32), jnp.asarray(ppad), jnp.asarray(vpad))
+        desc, ok = self._orb_jit(np.asarray(image, np.float32), ppad, vpad)
         kf.descriptors = np.asarray(desc)[:n]
         kf.desc_valid = np.asarray(ok)[:n]
         if self.store_keyframe_images:
@@ -374,12 +369,22 @@ class Slam:
             kf.thumb = img[::2, ::2].copy()
             kf.pix_pts = np.asarray(pts[:n], np.float32)
 
+    def _match_fn(self):
+        """Host-jitted mutual/Lowe descriptor matcher (one CPU program call
+        per candidate instead of a chain of eager accelerator dispatches)."""
+        if self._match_jit is None:
+            from .orb import match_descriptors
+
+            lr = float(self.ps.loopClosureFeatureMatchLoweRatio)
+            self._match_jit = host_jit(
+                lambda da, va, db, vb: match_descriptors(
+                    da, va, db, vb, lowe_ratio=lr))
+        return self._match_jit
+
     def _match_adjacent_for_viz(self, kf: KeyFrame) -> None:
         """ORB matches between the two newest keyframes, kept for the
         -visualizeOrbMatching viewer (reference: cmd slam group; reference
         draws per-keyframe ORB matching in a Pangolin window)."""
-        from .orb import match_descriptors
-
         prev = self.keyframes.get(self.kf_order[-2])
         if prev is None or prev.descriptors is None:
             return
@@ -389,9 +394,7 @@ class Slam:
         va = np.zeros(PAD, bool); va[:Ta] = kf.desc_valid
         db = np.zeros((PAD, 256), np.float32); db[:Tb] = prev.descriptors
         vb = np.zeros(PAD, bool); vb[:Tb] = prev.desc_valid
-        midx, _ = match_descriptors(
-            jnp.asarray(da), jnp.asarray(va), jnp.asarray(db), jnp.asarray(vb),
-            lowe_ratio=self.ps.loopClosureFeatureMatchLoweRatio)
+        midx, _ = self._match_fn()(da, va, db, vb)
         midx = np.asarray(midx)[:Ta]
         pairs = [(i, int(j)) for i, j in enumerate(midx) if 0 <= j < Tb]
         self.last_adjacent_matches = (kf.kf_id, prev.kf_id, pairs)
@@ -569,7 +572,9 @@ class Slam:
 
     def _ba_fn(self):
         if self._ba_jit is None:
-            self._ba_jit = jax.jit(
+            # host CPU jit by default (tiny shapes, keyframe rate); the
+            # accelerator path is opt-in via set_ba_mesh for large maps
+            self._ba_jit = host_jit(
                 lambda prob: ba_iterate(prob, iterations=8))
         return self._ba_jit
 
@@ -616,18 +621,17 @@ class Slam:
         rel = np.zeros((NK - 1, 7)); rel[:, 3] = 1.0
         prior_mask = np.zeros(NK - 1, bool)
         for i in range(nk - 1):
-            rel[i] = np.asarray(_relative_pose(
-                jnp.asarray(kfs[i].odo_pose), jnp.asarray(kfs[i + 1].odo_pose)))
+            rel[i] = np_relative_pose(kfs[i].odo_pose, kfs[i + 1].odo_pose)
             prior_mask[i] = True
 
         prob = BAProblem(
-            poses=jnp.asarray(poses), points=jnp.asarray(pts),
-            obs_ip=jnp.asarray(obs_ip), obs_mask=jnp.asarray(obs_mask),
-            pose_valid=jnp.asarray(np.arange(NK) < nk),
-            point_valid=jnp.asarray(np.arange(self.MP) < mp_n),
-            prior_rel=jnp.asarray(rel), prior_mask=jnp.asarray(prior_mask),
-            prior_w_pos=jnp.asarray(float(self.ps.odometryPriorStrengthPosition) / 100.0),
-            prior_w_rot=jnp.asarray(float(self.ps.odometryPriorStrengthRotation) / 100.0),
+            poses=poses, points=pts,
+            obs_ip=obs_ip, obs_mask=obs_mask,
+            pose_valid=np.arange(NK) < nk,
+            point_valid=np.arange(self.MP) < mp_n,
+            prior_rel=rel, prior_mask=prior_mask,
+            prior_w_pos=np.float64(self.ps.odometryPriorStrengthPosition) / 100.0,
+            prior_w_rot=np.float64(self.ps.odometryPriorStrengthRotation) / 100.0,
         )
         new_poses, new_points, cost = self._ba_fn()(prob)
         new_poses = np.asarray(new_poses)
@@ -667,8 +671,6 @@ class Slam:
         if not cands:
             return None
 
-        from .orb import match_descriptors
-
         best_ev: Optional[LoopClosureEvent] = None
         kf_tracks = set(int(i) for i in kf.track_ids)
         for cand_id, _score in cands:
@@ -688,9 +690,7 @@ class Slam:
             va = np.zeros(PAD, bool); va[:Ta] = kf.desc_valid
             db = np.zeros((PAD, 256), np.float32); db[:Tb] = cand.descriptors
             vb = np.zeros(PAD, bool); vb[:Tb] = cand.desc_valid
-            midx, _ = match_descriptors(
-                jnp.asarray(da), jnp.asarray(va), jnp.asarray(db), jnp.asarray(vb),
-                lowe_ratio=ps.loopClosureFeatureMatchLoweRatio)
+            midx, _ = self._match_fn()(da, va, db, vb)
             midx = np.asarray(midx)[:Ta]
             matches = [(i, int(j)) for i, j in enumerate(midx) if 0 <= j < Tb]
             if len(matches) < ps.minLoopClosureFeatureMatches:
@@ -772,8 +772,7 @@ class Slam:
         corrected = T @ Tk
         corrected[:3, 3] = s * (R @ Tk[:3, 3]) + tvec
         corrected_kf_pose = mat_to_pose(corrected)
-        rel = np.asarray(_relative_pose(
-            jnp.asarray(cand.pose), jnp.asarray(corrected_kf_pose)))
+        rel = np_relative_pose(cand.pose, corrected_kf_pose)
         # one edge per keyframe pair: a repeated closure of the same loop
         # REPLACES its edge instead of stacking ever more 10x-weight edges
         # (unbounded loop_edges growth, VERDICT round-2 weak item 5)
@@ -889,8 +888,7 @@ class Slam:
         w_pos = float(self.ps.odometryPriorStrengthPosition) / 100.0
         w_rot = float(self.ps.odometryPriorStrengthRotation) / 100.0
         for i in range(n - 1):
-            rel = np.asarray(_relative_pose(
-                jnp.asarray(kfs[i].odo_pose), jnp.asarray(kfs[i + 1].odo_pose)))
+            rel = np_relative_pose(kfs[i].odo_pose, kfs[i + 1].odo_pose)
             edges.append((i, i + 1, rel, w_pos, w_rot))
         for le in extra_edges:
             ia, ib = id_to_idx.get(le.kf_a), id_to_idx.get(le.kf_b)
@@ -909,11 +907,13 @@ class Slam:
             ei[k], ej[k], erel[k], ewp[k], ewr[k] = i, j, rel, wp, wr
 
         prob = PoseGraphProblem(
-            poses=jnp.asarray(poses), pose_valid=jnp.asarray(np.arange(N) < n),
-            edge_i=jnp.asarray(ei), edge_j=jnp.asarray(ej),
-            edge_rel=jnp.asarray(erel), edge_w_pos=jnp.asarray(ewp),
-            edge_w_rot=jnp.asarray(ewr))
-        new_poses = np.asarray(optimize_pose_graph(prob, iterations=iterations))
+            poses=poses, pose_valid=np.arange(N) < n,
+            edge_i=ei, edge_j=ej, edge_rel=erel, edge_w_pos=ewp,
+            edge_w_rot=ewr)
+        if self._pg_jit is None:
+            self._pg_jit = host_jit(optimize_pose_graph,
+                                    static_argnums=(1,))
+        new_poses = np.asarray(self._pg_jit(prob, iterations))
         if not np.isfinite(new_poses[:n]).all():
             return
         for i, kf in enumerate(kfs):

@@ -34,9 +34,12 @@ N_BITS = 256
 def _kmeans(desc: np.ndarray, n_words: int, iters: int, seed: int) -> np.ndarray:
     """Deterministic k-means over {-1,+1} descriptors; returns (W, 256)
     float32 centroids (sign-quantized so word assignment is a Hamming
-    nearest-neighbour, like DBoW2's binary node centroids)."""
+    nearest-neighbour, like DBoW2's binary node centroids). Runs on the host
+    CPU backend (keyframe-rate SLAM math, see slam/host.py)."""
     import jax
     import jax.numpy as jnp
+
+    from .host import cpu_device
 
     rng = np.random.RandomState(seed)
     n = desc.shape[0]
@@ -57,10 +60,11 @@ def _kmeans(desc: np.ndarray, n_words: int, iters: int, seed: int) -> np.ndarray
         new = jnp.where(counts > 0, sums / jnp.maximum(counts, 1.0), cb)
         return jnp.sign(jnp.where(new == 0, cb, new))
 
-    cb = jnp.asarray(init, jnp.float32)
-    d = jnp.asarray(desc, jnp.float32)
-    for _ in range(iters):
-        cb = step(cb, d)
+    with jax.default_device(cpu_device()):
+        cb = jnp.asarray(init, jnp.float32)
+        d = jnp.asarray(desc, jnp.float32)
+        for _ in range(iters):
+            cb = step(cb, d)
     return np.asarray(cb, np.float32)
 
 
@@ -122,19 +126,9 @@ class Vocabulary:
     # ------------------------------------------------------------- internals
 
     def _assign_words(self, desc: np.ndarray) -> np.ndarray:
-        import jax
-        import jax.numpy as jnp
-
-        if self._assign_jit is None:
-            self._assign_jit = jax.jit(
-                lambda d, cb: jnp.argmax(d @ cb.T, axis=1))
-        W = 256  # pad feature count to a static shape for jit reuse
-        n = desc.shape[0]
-        pad = (-n) % W
-        dpad = np.concatenate([desc, np.zeros((pad, N_BITS), np.float32)]) if pad else desc
-        out = np.asarray(self._assign_jit(
-            jnp.asarray(dpad, jnp.float32), jnp.asarray(self.codebook)))
-        return out[:n]
+        # plain numpy: (n, 256) @ (256, W) at keyframe rate is microseconds
+        # on the host; a device dispatch would cost more than the matmul
+        return np.argmax(desc @ self.codebook.T, axis=1).astype(np.int64)
 
     def _idf(self) -> np.ndarray:
         return np.log(max(self.n_docs, 1) + 1.0) - np.log(self._df + 1.0)
