@@ -78,6 +78,9 @@ class VioApi:
         if dtype is None:
             dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
         self._dtype = dtype
+        # static: EKFState.P holds a square-root factor instead of the dense
+        # covariance (ekf/sqrt.py; odometry.useSquareRootEkf TPU extension)
+        self._sqrt_mode = bool(getattr(params.odometry, "useSquareRootEkf", False))
         cams = [build_camera_from_params(params.tracker, width, height, dtype=self._dtype)]
         if params.tracker.useStereo:
             cams.append(build_camera_from_params(params.tracker, width, height, second=True, dtype=self._dtype))
@@ -576,7 +579,7 @@ class VioApi:
 
             self._state = self._state._replace(
                 backend=self._state.backend._replace(
-                    ekf=_lb(self._state.backend.ekf)))
+                    ekf=_lb(self._state.backend.ekf, self._sqrt_mode)))
 
     def condition_on_last_pose(self) -> None:
         """Schur-condition the state on the newest pose (reference:
@@ -588,7 +591,8 @@ class VioApi:
             self._state = self._state._replace(
                 backend=self._state.backend._replace(
                     ekf=_cp(self._state.backend.ekf,
-                            self.params.odometry.cameraTrailLength)))
+                            self.params.odometry.cameraTrailLength,
+                            self._sqrt_mode)))
 
     def _get_display_rectify(self):
         """Cached stereo rectification for the display/point-cloud paths:
@@ -703,9 +707,11 @@ class VioApi:
             po = self.params.odometry
             ekf = state.backend.ekf
             ekf = initialize_orientation(ekf, jnp.asarray([0.0, 0.0, 9.819], self._dtype),
-                                         po.noiseInitialOri, po.noiseScale**2)
+                                         po.noiseInitialOri, po.noiseScale**2,
+                                         self._sqrt_mode)
             ekf = transform_to(ekf, jnp.asarray(pos, self._dtype),
-                               jnp.asarray(q, self._dtype), po.cameraTrailLength)
+                               jnp.asarray(q, self._dtype), po.cameraTrailLength,
+                               sqrt_mode=self._sqrt_mode)
             state = state._replace(
                 backend=state.backend._replace(
                     ekf=ekf, orientation_initialized=jnp.ones((), bool)))

@@ -463,9 +463,13 @@ def run(argv=None) -> int:
             save_vis(f"pose_{k:06d}", vz.render_pose_plot(hist, point_cloud=pc_hist))
         if "displayCovarianceMagnitude" in display_on and api._state is not None:
             P = np.asarray(api._state.backend.ekf.P)
+            if api._sqrt_mode:  # P field holds the factor W (ekf/sqrt.py)
+                P = P @ P.T
             save_vis(f"cov_{k:06d}", vz.render_covariance_magnitudes(P))
         if "displayCorrelation" in display_on and api._state is not None:
             P = np.asarray(api._state.backend.ekf.P)
+            if api._sqrt_mode:
+                P = P @ P.T
             save_vis(f"corr_{k:06d}", vz.render_correlation(P))
         if slam_viz_on and api.slam is not None:
             _write_slam_visualizations(api.slam.slam, slam_viz_on, save_vis,

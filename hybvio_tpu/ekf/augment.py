@@ -35,11 +35,15 @@ def _augment_gather_index(d: int, cam_pose_count: int, dropped: jnp.ndarray):
     return src, keep
 
 
-def augment_pose(s: EKFState, dropped_pose_index, params) -> EKFState:
+def augment_pose(s: EKFState, dropped_pose_index, params,
+                 sqrt_mode: bool = False) -> EKFState:
     """Clone current pose into trail head, dropping trail pose K
     (reference: updateVisualPoseAugmentation, ekf.cpp:848-885).
 
     dropped_pose_index: traced int in [0, L-1]; pass L-1 for "drop last".
+    sqrt_mode: state.P holds the factor W; the permutation gathers W rows
+    (A P A^T == (A W)(A W)^T), Qaug joins as appended columns under one QR,
+    and the update trick runs as a square-root update (ekf/sqrt.py).
     """
     po = params
     L = po.cameraTrailLength
@@ -51,13 +55,6 @@ def augment_pose(s: EKFState, dropped_pose_index, params) -> EKFState:
     src, keep = _augment_gather_index(d, L, K)
     keepf = keep.astype(dtype)
     m = s.m[src] * keepf
-    P = s.P[src][:, src] * (keepf[:, None] * keepf[None, :])
-
-    # Qaug: prior noise on the (zeroed) head slot
-    qdiag = jnp.zeros(d, dtype=dtype)
-    qdiag = qdiag.at[CAM : CAM + 3].set(po.noiseInitialPosTrail**2 * noise_scale)
-    qdiag = qdiag.at[CAM + 3 : CAM + POSE_DIM].set(po.noiseInitialOriTrail**2 * noise_scale)
-    P = P + jnp.diag(qdiag)
 
     # update trick: H (7 x d): rows enforce current pose - head slot == 0
     H = jnp.zeros((POSE_DIM, d), dtype=dtype)
@@ -69,25 +66,54 @@ def augment_pose(s: EKFState, dropped_pose_index, params) -> EKFState:
         H = H.at[3 + i, CAM + 3 + i].set(-1.0)
 
     r = po.augmentR * noise_scale
-    R = r * jnp.eye(POSE_DIM, dtype=dtype)
-    HP = pdot(H, P)
-    S = pdot(HP, H.T) + R
-    from .update import solve_innovation
+    pos_var = po.noiseInitialPosTrail**2 * noise_scale
+    ori_var = po.noiseInitialOriTrail**2 * noise_scale
 
-    Kg = solve_innovation(S, HP).T  # (d, 7)
-    m_new = m + Kg @ (-(H @ m))
+    if sqrt_mode:
+        from .sqrt import qr_factor, sr_update
 
-    # Joseph form (reference: updateCommonJosephForm, ekf.cpp:35-50)
-    IKH = jnp.eye(d, dtype=dtype) - pdot(Kg, H)
-    P_new = pdot(pdot(IKH, P), IKH.T) + pdot(pdot(Kg, R), Kg.T)
-    # a degenerate S (f32 rounding pushed P indefinite) must not NaN the
-    # filter: fall back to the permuted state with the Qaug prior (the clone
-    # constraint is then enforced only softly by later updates)
-    ok = jnp.isfinite(m_new).all() & jnp.isfinite(P_new).all()
-    m = jnp.where(ok, m_new, m)
-    P = jnp.where(ok, P_new, P)
-    P = 0.5 * (P + P.T)
-    m = normalize_quaternions(m, L)
+        W = s.P[src, :] * keepf[:, None]
+        # Qaug columns: prior noise on the zeroed head slot (7 nonzeros)
+        cols = jnp.zeros((d, POSE_DIM), dtype)
+        for i in range(3):
+            cols = cols.at[CAM + i, i].set(jnp.sqrt(pos_var))
+        for i in range(4):
+            cols = cols.at[CAM + 3 + i, 3 + i].set(jnp.sqrt(ori_var))
+        W = qr_factor(jnp.concatenate([W, cols], axis=1))
+        r_sqrt = jnp.full((POSE_DIM,), jnp.sqrt(r), dtype)
+        m_new, W_new, _ = sr_update(m, W, -(H @ m), H, r_sqrt)
+        ok = jnp.isfinite(m_new).all() & jnp.isfinite(W_new).all()
+        m = jnp.where(ok, m_new, m)
+        P = jnp.where(ok, W_new, W)
+        m = normalize_quaternions(m, L)
+    else:
+        P = s.P[src][:, src] * (keepf[:, None] * keepf[None, :])
+
+        # Qaug: prior noise on the (zeroed) head slot
+        qdiag = jnp.zeros(d, dtype=dtype)
+        qdiag = qdiag.at[CAM : CAM + 3].set(pos_var)
+        qdiag = qdiag.at[CAM + 3 : CAM + POSE_DIM].set(ori_var)
+        P = P + jnp.diag(qdiag)
+
+        R = r * jnp.eye(POSE_DIM, dtype=dtype)
+        HP = pdot(H, P)
+        S = pdot(HP, H.T) + R
+        from .update import solve_innovation
+
+        Kg = solve_innovation(S, HP).T  # (d, 7)
+        m_new = m + Kg @ (-(H @ m))
+
+        # Joseph form (reference: updateCommonJosephForm, ekf.cpp:35-50)
+        IKH = jnp.eye(d, dtype=dtype) - pdot(Kg, H)
+        P_new = pdot(pdot(IKH, P), IKH.T) + pdot(pdot(Kg, R), Kg.T)
+        # a degenerate S (f32 rounding pushed P indefinite) must not NaN the
+        # filter: fall back to the permuted state with the Qaug prior (the clone
+        # constraint is then enforced only softly by later updates)
+        ok = jnp.isfinite(m_new).all() & jnp.isfinite(P_new).all()
+        m = jnp.where(ok, m_new, m)
+        P = jnp.where(ok, P_new, P)
+        P = 0.5 * (P + P.T)
+        m = normalize_quaternions(m, L)
 
     # pose timestamps follow the same trail permutation
     t_now = s.first_sample_t + s.time
@@ -102,7 +128,8 @@ def augment_pose(s: EKFState, dropped_pose_index, params) -> EKFState:
     return s._replace(m=m, P=P, pose_times=new_times, augment_count=augment_count)
 
 
-def undo_augmentation(s: EKFState, cam_pose_count: int, hybrid_map_size: int) -> EKFState:
+def undo_augmentation(s: EKFState, cam_pose_count: int, hybrid_map_size: int,
+                      sqrt_mode: bool = False) -> EKFState:
     """Drop the head trail pose, shifting the trail back one slot
     (reference: updateUndoAugmentation, ekf.cpp:888-903)."""
     d = s.m.shape[0]
@@ -115,7 +142,11 @@ def undo_augmentation(s: EKFState, cam_pose_count: int, hybrid_map_size: int) ->
     last = (idx >= CAM + trail_dim - POSE_DIM) & (idx < CAM + trail_dim)
     keepf = (~last).astype(dtype)
     m = s.m[src] * keepf
-    P = s.P[src][:, src] * (keepf[:, None] * keepf[None, :])
+    if sqrt_mode:
+        # gathering + zeroing W rows applies the permutation to P = W W^T
+        P = s.P[src, :] * keepf[:, None]
+    else:
+        P = s.P[src][:, src] * (keepf[:, None] * keepf[None, :])
     L = cam_pose_count
     new_times = jnp.concatenate([s.pose_times[1:], jnp.zeros((1,), dtype=s.pose_times.dtype)])
     return s._replace(m=m, P=P, pose_times=new_times, augment_count=jnp.maximum(s.augment_count - 1, 0))

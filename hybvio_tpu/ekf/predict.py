@@ -128,8 +128,11 @@ def process_noise_diag(po, dt, dtype=jnp.float64):
     return q_diag
 
 
-def make_predict(po, dtype=jnp.float64):
-    """Build predict(state, t, xg, xa) -> state for static parameters po."""
+def make_predict(po, dtype=jnp.float64, sqrt_mode: bool = False):
+    """Build predict(state, t, xg, xa) -> state for static parameters po.
+
+    sqrt_mode: state.P holds the square-root factor W (ekf/sqrt.py); the
+    covariance propagation becomes W <- qr_factor([F W | G sqrt(Q)])."""
 
     def predict(s: EKFState, t, xg, xa) -> EKFState:
         t = jnp.asarray(t, dtype=dtype)
@@ -149,6 +152,18 @@ def make_predict(po, dtype=jnp.float64):
         def do_predict(s):
             m, dydx, dydq = predict_mean_and_jacobians(po, s.m, dt, xg, xa, dtype)
             q_diag = process_noise_diag(po, dt, dtype)
+            if sqrt_mode:
+                # W <- qr_factor([F W | G sqrt(Q)]) with F = blockdiag(dydx, I)
+                # and G supported on the inertial rows (ekf/sqrt.py)
+                from .sqrt import qr_factor
+
+                W = s.P
+                W = W.at[:INER_DIM, :].set(pdot(dydx, W[:INER_DIM, :]))
+                noise_cols = jnp.zeros((W.shape[0], Q_DIM), dtype)
+                noise_cols = noise_cols.at[:INER_DIM, :].set(
+                    dydq * jnp.sqrt(jnp.maximum(q_diag, 0.0))[None, :])
+                W = qr_factor(jnp.concatenate([W, noise_cols], axis=1))
+                return s._replace(m=m, P=W)
             P = s.P
             P_II = P[:INER_DIM, :INER_DIM]
             P_II = pdot(pdot(dydx, P_II), dydx.T) + pdot(dydq * q_diag[None, :], dydq.T)

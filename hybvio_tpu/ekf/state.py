@@ -103,9 +103,12 @@ def map_point_offset(d: int, hybrid_map_size: int, idx) -> int:
     return d - MAP_POINT_DIM * hybrid_map_size + MAP_POINT_DIM * idx
 
 
-def init_state(po, dtype=jnp.float64) -> EKFState:
+def init_state(po, dtype=jnp.float64, sqrt_mode: bool = False) -> EKFState:
     """Build the initial filter state from ParametersOdometry
-    (reference: ekf.cpp:153-296)."""
+    (reference: ekf.cpp:153-296).
+
+    sqrt_mode: the P field holds the square-root factor W (P = W W^T,
+    ekf/sqrt.py); the initial diagonal covariance factors elementwise."""
     L = po.cameraTrailLength
     M = po.hybridMapSize
     d = state_dim(L, M)
@@ -128,6 +131,8 @@ def init_state(po, dtype=jnp.float64) -> EKFState:
         Pd[s : s + 3] = po.noiseInitialPosTrail**2
         Pd[s + 3 : s + 7] = po.noiseInitialOriTrail**2
     P = np.diag(Pd) * noise_scale
+    if sqrt_mode:
+        P = np.sqrt(P)
 
     return EKFState(
         m=jnp.asarray(m, dtype=dtype),

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from .chi2 import CHI2INV95
+from .sqrt import sr_add_diag_noise, sr_innovation_chi2, sr_update
 from .state import BGA, CAM, ORI, POS, POSE_DIM, SFT, VEL, EKFState
 
 # Covariance algebra must not drop mantissa bits on the TPU MXU (bf16 passes
@@ -77,7 +78,7 @@ def solve_innovation(S, B):
     return jax.scipy.linalg.cho_solve(cho, B)
 
 
-def kf_update(m, P, y, H, r_diag):
+def kf_update(m, P, y, H, r_diag, sqrt_mode: bool = False):
     """Generic KF update with diagonal measurement noise.
 
     H: (n, d) full width; rows may be all-zero (masked). y: (n,) with masked
@@ -86,13 +87,19 @@ def kf_update(m, P, y, H, r_diag):
     updateCommon. An update whose result would be non-finite is dropped
     (state returned unchanged) — a single degenerate S must not destroy the
     filter.
+
+    sqrt_mode (static): P holds the square-root factor W (P = W W^T, see
+    ekf/sqrt.py); the update runs as one triangular pre-array QR.
     """
-    HP = pdot(H, P)  # (n, d)
-    S = pdot(HP, H.T) + jnp.diag(r_diag)
-    K = solve_innovation(S, HP)  # (n, d); true gain is K.T
     v = y - pdot(H, m[:, None])[:, 0]
-    m_new = m + pdot(K.T, v[:, None])[:, 0]
-    P_new = P - pdot(K.T, HP)
+    if sqrt_mode:
+        m_new, P_new, _ = sr_update(m, P, v, H, jnp.sqrt(r_diag).astype(P.dtype))
+    else:
+        HP = pdot(H, P)  # (n, d)
+        S = pdot(HP, H.T) + jnp.diag(r_diag)
+        K = solve_innovation(S, HP)  # (n, d); true gain is K.T
+        m_new = m + pdot(K.T, v[:, None])[:, 0]
+        P_new = P - pdot(K.T, HP)
     ok = jnp.isfinite(m_new).all() & jnp.isfinite(P_new).all()
     m = jnp.where(ok, m_new, m)
     P = jnp.where(ok, P_new, P)
@@ -109,38 +116,49 @@ def _block_h(d, offset, n, dtype):
     return H.at[:, offset : offset + n].set(jnp.eye(n, dtype=dtype))
 
 
-def update_zupt(s: EKFState, r, noise_scale) -> EKFState:
+def _maybe_symmetrize(P, sqrt_mode: bool):
+    return P if sqrt_mode else 0.5 * (P + P.T)
+
+
+def update_zupt(s: EKFState, r, noise_scale, sqrt_mode: bool = False) -> EKFState:
     """Zero-velocity update (reference: ekf.cpp:573-590); rate-limited 0.25s."""
     do = s.time - s.zupt_time >= 0.25
     d = s.m.shape[0]
     H = _block_h(d, VEL, 3, s.m.dtype)
-    m, P = kf_update(s.m, s.P, jnp.zeros(3, s.m.dtype), H, jnp.full((3,), r * noise_scale, s.m.dtype))
+    m, P = kf_update(s.m, s.P, jnp.zeros(3, s.m.dtype), H,
+                     jnp.full((3,), r * noise_scale, s.m.dtype), sqrt_mode)
     new = s._replace(m=m, P=P, zupt_time=s.time, was_stationary=jnp.ones((), bool))
     return _gated(s, do, new)
 
 
-def update_zupt_initialization(s: EKFState, init_zupt_r, noise_scale) -> EKFState:
+def update_zupt_initialization(s: EKFState, init_zupt_r, noise_scale,
+                               sqrt_mode: bool = False) -> EKFState:
     """Decaying init-ZUPT (reference: ekf.cpp:594-611)."""
     do = (~s.was_stationary) & (s.time <= 60.0) & (s.time - s.init_zupt_time >= 0.1)
     d = s.m.shape[0]
     H = _block_h(d, VEL, 3, s.m.dtype)
     r = init_zupt_r * noise_scale * jnp.exp(0.5 * s.time)
-    m, P = kf_update(s.m, s.P, jnp.zeros(3, s.m.dtype), H, jnp.full((3,), 1.0, s.m.dtype) * r)
+    m, P = kf_update(s.m, s.P, jnp.zeros(3, s.m.dtype), H,
+                     jnp.full((3,), 1.0, s.m.dtype) * r, sqrt_mode)
     new = s._replace(m=m, P=P, init_zupt_time=s.time)
     return _gated(s, do, new)
 
 
-def update_zrupt(s: EKFState, xg, rotation_zupt_r, noise_scale) -> EKFState:
+def update_zrupt(s: EKFState, xg, rotation_zupt_r, noise_scale,
+                 sqrt_mode: bool = False) -> EKFState:
     """Zero-rotation update: gyro bias -> sample (reference: ekf.cpp:614-625)."""
     do = s.time - s.zrupt_time >= 0.25
     d = s.m.shape[0]
     H = _block_h(d, BGA, 3, s.m.dtype)
-    m, P = kf_update(s.m, s.P, xg, H, jnp.full((3,), rotation_zupt_r * noise_scale, s.m.dtype))
+    m, P = kf_update(s.m, s.P, xg, H,
+                     jnp.full((3,), rotation_zupt_r * noise_scale, s.m.dtype),
+                     sqrt_mode)
     new = s._replace(m=m, P=P, zrupt_time=s.time)
     return _gated(s, do, new)
 
 
-def update_pseudo_velocity(s: EKFState, default_speed, r, noise_scale) -> EKFState:
+def update_pseudo_velocity(s: EKFState, default_speed, r, noise_scale,
+                           sqrt_mode: bool = False) -> EKFState:
     """Horizontal speed clamp, rank-1 update (reference: ekf.cpp:628-649)."""
     h = jnp.linalg.norm(s.m[VEL : VEL + 2])
     do = h > 1e-7
@@ -148,37 +166,46 @@ def update_pseudo_velocity(s: EKFState, default_speed, r, noise_scale) -> EKFSta
     hh = jnp.where(do, h, 1.0)
     H = jnp.zeros((1, d), s.m.dtype)
     H = H.at[0, VEL : VEL + 2].set(s.m[VEL : VEL + 2] / hh)
-    HP = pdot(H, s.P)
-    S = pdot(HP, H.T)[0, 0] + r * noise_scale
-    K = HP / S  # (1,d)
-    m = s.m + K[0] * (default_speed - h)
-    P = s.P - pdot(K.T, HP)
+    if sqrt_mode:
+        v = jnp.asarray([default_speed], s.m.dtype) - h[None]
+        r_sqrt = jnp.sqrt(jnp.asarray([r * noise_scale], s.m.dtype))
+        m, P, _ = sr_update(s.m, s.P, v, H, r_sqrt)
+    else:
+        HP = pdot(H, s.P)
+        S = pdot(HP, H.T)[0, 0] + r * noise_scale
+        K = HP / S  # (1,d)
+        m = s.m + K[0] * (default_speed - h)
+        P = s.P - pdot(K.T, HP)
     m = _normalize_current_quat(m)
     return _gated(s, do, s._replace(m=m, P=P))
 
 
-def update_position(s: EKFState, pos, r, noise_scale) -> EKFState:
+def update_position(s: EKFState, pos, r, noise_scale, sqrt_mode: bool = False) -> EKFState:
     d = s.m.shape[0]
     H = _block_h(d, POS, 3, s.m.dtype)
-    m, P = kf_update(s.m, s.P, pos, H, jnp.full((3,), r * noise_scale, s.m.dtype))
-    P = 0.5 * (P + P.T)
+    m, P = kf_update(s.m, s.P, pos, H,
+                     jnp.full((3,), r * noise_scale, s.m.dtype), sqrt_mode)
+    P = _maybe_symmetrize(P, sqrt_mode)
     return s._replace(m=m, P=P)
 
 
-def update_zero_height(s: EKFState, r, noise_scale) -> EKFState:
+def update_zero_height(s: EKFState, r, noise_scale, sqrt_mode: bool = False) -> EKFState:
     d = s.m.shape[0]
     H = jnp.zeros((1, d), s.m.dtype).at[0, POS + 2].set(1.0)
-    m, P = kf_update(s.m, s.P, jnp.zeros(1, s.m.dtype), H, jnp.full((1,), r * noise_scale, s.m.dtype))
-    P = 0.5 * (P + P.T)
+    m, P = kf_update(s.m, s.P, jnp.zeros(1, s.m.dtype), H,
+                     jnp.full((1,), r * noise_scale, s.m.dtype), sqrt_mode)
+    P = _maybe_symmetrize(P, sqrt_mode)
     return s._replace(m=m, P=P)
 
 
-def update_orientation(s: EKFState, q, r, noise_scale, cam_pose_count: int) -> EKFState:
+def update_orientation(s: EKFState, q, r, noise_scale, cam_pose_count: int,
+                       sqrt_mode: bool = False) -> EKFState:
     d = s.m.shape[0]
     H = _block_h(d, ORI, 4, s.m.dtype)
-    m, P = kf_update(s.m, s.P, q, H, jnp.full((4,), r * noise_scale, s.m.dtype))
+    m, P = kf_update(s.m, s.P, q, H,
+                     jnp.full((4,), r * noise_scale, s.m.dtype), sqrt_mode)
     m = normalize_quaternions(m, cam_pose_count)
-    P = 0.5 * (P + P.T)
+    P = _maybe_symmetrize(P, sqrt_mode)
     return s._replace(m=m, P=P)
 
 
@@ -205,6 +232,7 @@ def visual_track_update(
     chi_outlier_r,
     rmse_threshold,
     apply_update=True,
+    sqrt_mode: bool = False,
 ):
     """Masked visual track update with chi2/RMSE outlier gating.
 
@@ -216,6 +244,9 @@ def visual_track_update(
     Mirrors visualTrackOutlierCheck + updateVisualTrack
     (reference: ekf.cpp:760-844). Returns updated (m, P) only when the gates
     pass AND apply_update; always returns gate outcomes.
+
+    sqrt_mode (static): P holds the factor W (ekf/sqrt.py); gate + update run
+    on the factor and the returned P is the updated factor.
     """
     dtype = m.dtype
     n = H.shape[0]
@@ -228,20 +259,22 @@ def visual_track_update(
     rmse2 = jnp.sum(v * v) / jnp.maximum(n_valid, 1)
     rmse_ok = jnp.where(rmse_threshold >= 0, rmse2 <= rmse_threshold * rmse_threshold, True)
 
-    HP = pdot(H, P)
-    HPHt = pdot(HP, H.T)
-    eye = jnp.eye(n, dtype=dtype)
-
     # chi2 gate uses its own noise level chi_outlier_r (reference passes
     # chiOutlierR to visualTrackOutlierCheck and visualR to updateVisualTrack,
     # backend.cpp:1155-1187) and the reference's noiseScale correction
     # (ekf.cpp:808-819)
     r_gate = (chi_outlier_r * chi_outlier_r) * noise_scale
-    S_gate = HPHt + jnp.abs(r_gate) * eye
-    Sv = solve_innovation(S_gate, v[:, None])[:, 0]
-    # a non-finite chi2 (degenerate S) must reject, not pass
-    Sv = jnp.where(jnp.isfinite(Sv), Sv, jnp.inf)
-    chi2_value = noise_scale * jnp.dot(Sv, v)
+    if sqrt_mode:
+        chi2_value = noise_scale * sr_innovation_chi2(P, H, v, jnp.abs(r_gate))
+    else:
+        HP = pdot(H, P)
+        HPHt = pdot(HP, H.T)
+        eye = jnp.eye(n, dtype=dtype)
+        S_gate = HPHt + jnp.abs(r_gate) * eye
+        Sv = solve_innovation(S_gate, v[:, None])[:, 0]
+        # a non-finite chi2 (degenerate S) must reject, not pass
+        Sv = jnp.where(jnp.isfinite(Sv), Sv, jnp.inf)
+        chi2_value = noise_scale * jnp.dot(Sv, v)
     idx = jnp.minimum(n_valid, len(CHI2INV95) - 1)
     chi2_thresh = jnp.asarray(CHI2INV95, dtype=dtype)[idx]
     chi2_ok = jnp.where(chi_outlier_r >= 0, chi2_value <= chi2_thresh, True)
@@ -249,6 +282,16 @@ def visual_track_update(
     is_inlier = rmse_ok & chi2_ok & (n_valid > 0)
 
     r = (visual_r * visual_r) * noise_scale
+    if sqrt_mode:
+        r_sqrt = jnp.full((n,), jnp.sqrt(r), dtype)
+        m_new, P_new, _ = sr_update(m, P, v, H, r_sqrt)
+        m_new = _normalize_current_quat(m_new)
+        do = (is_inlier & apply_update
+              & jnp.isfinite(m_new).all() & jnp.isfinite(P_new).all())
+        m_out = jnp.where(do, m_new, m)
+        P_out = jnp.where(do, P_new, P)
+        return VisualUpdateResult(m_out, P_out, is_inlier, rmse_ok, chi2_ok,
+                                  chi2_value)
     S = HPHt + r * eye
     K = solve_innovation(S, HP)  # (n,d)
     m_new = m + pdot(K.T, v[:, None])[:, 0]
@@ -280,7 +323,8 @@ def visual_track_update(
     return VisualUpdateResult(m_out, P_out, is_inlier, rmse_ok, chi2_ok, chi2_value)
 
 
-def visual_track_gate(m, P, H, f, y, mask, noise_scale, chi_outlier_r, rmse_threshold):
+def visual_track_gate(m, P, H, f, y, mask, noise_scale, chi_outlier_r,
+                      rmse_threshold, sqrt_mode: bool = False):
     """Chi2 + RMSE outlier gates only (no update); used by the batched visual
     update where all tracks are gated against the same pre-update state
     (reference: batchVisualUpdate mode, backend.cpp:1005-1010,1170-1187).
@@ -297,10 +341,13 @@ def visual_track_gate(m, P, H, f, y, mask, noise_scale, chi_outlier_r, rmse_thre
     rmse_ok = jnp.where(rmse_threshold >= 0, rmse2 <= rmse_threshold * rmse_threshold, True)
 
     r_gate = (chi_outlier_r * chi_outlier_r) * noise_scale
-    S = pdot(pdot(H, P), H.T) + jnp.abs(r_gate) * jnp.eye(n, dtype=dtype)
-    Sv = solve_innovation(S, v[:, None])[:, 0]
-    Sv = jnp.where(jnp.isfinite(Sv), Sv, jnp.inf)
-    chi2_value = noise_scale * jnp.dot(Sv, v)
+    if sqrt_mode:
+        chi2_value = noise_scale * sr_innovation_chi2(P, H, v, jnp.abs(r_gate))
+    else:
+        S = pdot(pdot(H, P), H.T) + jnp.abs(r_gate) * jnp.eye(n, dtype=dtype)
+        Sv = solve_innovation(S, v[:, None])[:, 0]
+        Sv = jnp.where(jnp.isfinite(Sv), Sv, jnp.inf)
+        chi2_value = noise_scale * jnp.dot(Sv, v)
     idx = jnp.minimum(n_valid, len(CHI2INV95) - 1)
     chi2_ok = jnp.where(chi_outlier_r >= 0, chi2_value <= jnp.asarray(CHI2INV95, dtype=dtype)[idx], True)
     return rmse_ok & chi2_ok & (n_valid > 0), chi2_value

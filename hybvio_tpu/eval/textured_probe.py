@@ -55,7 +55,8 @@ def run_textured_probe(duration: float = 6.0, seed: int = 8,
                        width: int = 320, height: int = 240,
                        fx: float = 260.0, dtype=None,
                        stereo: bool = False, fisheye: bool = False,
-                       precision: str = "highest") -> dict:
+                       precision: str = "highest",
+                       overrides: dict | None = None) -> dict:
     """Run mono / stereo / fisheye VIO end-to-end on the textured world;
     return a result dict {"ate_rmse_m", "frames", "finite"}. Deterministic
     for a given seed. fisheye renders THROUGH the KB4 equidistant model
@@ -83,11 +84,12 @@ def run_textured_probe(duration: float = 6.0, seed: int = 8,
         width = height = 320
         fx = 120.0  # wide FOV over the same 320-px sensor
     with jax.default_matmul_precision(precision):
-        return _run(duration, seed, width, height, fx, dtype, stereo, fisheye)
+        return _run(duration, seed, width, height, fx, dtype, stereo, fisheye,
+                    overrides)
 
 
 def _run(duration, seed, width, height, fx, dtype, stereo=False,
-         fisheye=False) -> dict:
+         fisheye=False, overrides=None) -> dict:
     import jax
     import jax.numpy as jnp
 
@@ -100,6 +102,9 @@ def _run(duration, seed, width, height, fx, dtype, stereo=False,
     from ..odometry.vio import make_vio
 
     p = textured_accuracy_params(width, height, fx)
+    for k, v in (overrides or {}).items():
+        g, n = k.split(".")
+        p.set_parameter(g, n, v)
     if stereo:
         p.tracker.useStereo = True
         p.odometry.secondImuToCameraMatrix = tuple(

@@ -37,6 +37,7 @@ from ..ekf import (
     map_point_offset,
 )
 from ..geometry.cameras import Camera, normalize_pixel
+from ..ekf.sqrt import cov_block, cov_diag
 from . import trail as tr
 from .visual_update import make_prepare_track_update
 from .triangulation import TRI_OK
@@ -170,7 +171,8 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
                     * po.goodFramesTimeWindowSeconds), 1)
     W = max(2 * W_arm, 4)
 
-    predict = make_predict(po, dtype)
+    sqrt_mode = bool(getattr(po, "useSquareRootEkf", False))
+    predict = make_predict(po, dtype, sqrt_mode)
     prepare = make_prepare_track_update(
         po, derived.imu_to_camera, derived.second_imu_to_camera, use_stereo, d, dtype)
     # per-keyframe stereo pre-triangulation + information-weighted fusion
@@ -189,7 +191,7 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
 
     def init_fn(rng_key=None) -> BackendState:
         return BackendState(
-            ekf=init_state(po, dtype),
+            ekf=init_state(po, dtype, sqrt_mode),
             trail=tr.init_trail(po, T, n_cams, dtype),
             blacklist_flags=jnp.zeros((T,), dtype=bool),
             blacklist_ids=jnp.full((T,), -1, dtype=jnp.int32),
@@ -214,7 +216,7 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
                 ekf = jax.lax.cond(
                     s.orientation_initialized,
                     lambda e: e,
-                    lambda e: initialize_orientation(e, a, po.noiseInitialOri, noise_scale),
+                    lambda e: initialize_orientation(e, a, po.noiseInitialOri, noise_scale, sqrt_mode),
                     ekf,
                 )
                 ekf = predict(ekf, t, g, a)
@@ -222,12 +224,12 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
                 q = ekf.m[ORI:ORI + 4]
                 ekf = ekf._replace(m=ekf.m.at[ORI:ORI + 4].set(q / jnp.linalg.norm(q)))
                 if po.useDecayingZeroVelocityUpdate:
-                    ekf = update_zupt_initialization(ekf, po.initZuptR, noise_scale)
+                    ekf = update_zupt_initialization(ekf, po.initZuptR, noise_scale, sqrt_mode)
                 if po.usePseudoVelocity:
                     h = jnp.linalg.norm(ekf.m[VEL:VEL + 2])
                     ekf = jax.lax.cond(
                         h > po.pseudoVelocityLimit,
-                        lambda e: update_pseudo_velocity(e, po.pseudoVelocityTarget, po.pseudoVelocityR, noise_scale),
+                        lambda e: update_pseudo_velocity(e, po.pseudoVelocityTarget, po.pseudoVelocityR, noise_scale, sqrt_mode),
                         lambda e: e,
                         ekf,
                     )
@@ -365,7 +367,7 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             res = visual_track_update(
                 m, P, out.H, out.f, out.y, out.row_mask,
                 visual_r, noise_scale, chi_r, rmse_thr,
-                apply_update=do_update)
+                apply_update=do_update, sqrt_mode=sqrt_mode)
 
             inlier = res.is_inlier & do_update
             applied = inlier
@@ -386,7 +388,7 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
                                    was_stationary=ekf.was_stationary,
                                    augment_count=ekf.augment_count,
                                    pose_times=ekf.pose_times)
-                ekf_ins = insert_map_point(ekf_tmp, off, out.pf)
+                ekf_ins = insert_map_point(ekf_tmp, off, out.pf, sqrt_mode)
                 # when promoting: skip the regular EKF update, insert instead
                 m_new = jnp.where(can_promote, ekf_ins.m, res.m)
                 P_new = jnp.where(can_promote, ekf_ins.P, res.P)
@@ -443,8 +445,10 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             bl_flags = bl_flags | was_blacklisted
             bl_ids = jnp.where(was_blacklisted, track_ids, bl_ids)
 
-        # symmetrize once per frame (reference: backend.cpp:1265-1267)
-        P = 0.5 * (P + P.T)
+        # symmetrize once per frame (reference: backend.cpp:1265-1267);
+        # the square-root factor is PSD by construction and not symmetric
+        if not sqrt_mode:
+            P = 0.5 * (P + P.T)
         ekf = ekf._replace(m=m, P=P)
         trail_state = trail_state._replace(kf_used=kf_used, map_point_ids=mp_ids_arr)
 
@@ -556,7 +560,8 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
 
         gate_ok, chi2_vals = jax.vmap(
             lambda H, f, y, mask: visual_track_gate(
-                ekf.m, ekf.P, H, f, y, mask, noise_scale, chi_r0, rmse_thr0)
+                ekf.m, ekf.P, H, f, y, mask, noise_scale, chi_r0, rmse_thr0,
+                sqrt_mode=sqrt_mode)
         )(outs.H, outs.f, outs.y, outs.row_mask)
 
         # every active non-map-point candidate triangulates; map-point
@@ -616,7 +621,7 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             res = visual_track_update(
                 m, P, H_big, f_big, y_big, mask_big,
                 visual_r, noise_scale, chi_outlier_r=-1.0, rmse_threshold=-1.0,
-                apply_update=jnp.any(ok_c))
+                apply_update=jnp.any(ok_c), sqrt_mode=sqrt_mode)
             m, P = res.m, res.P
 
         if M > 0:
@@ -631,8 +636,15 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
                 & (idx[None, :] < offs[:, None] + 3), axis=0)  # (d,)
             keep = (~in_block).astype(dtype)
             NOISE = 1e3
-            P_ins = P * (keep[:, None] * keep[None, :]) + jnp.diag(
-                jnp.where(in_block, NOISE * NOISE, 0.0).astype(dtype))
+            block_var = jnp.where(in_block, NOISE * NOISE, 0.0).astype(dtype)
+            if sqrt_mode:
+                # zero the factor rows (=> zero P rows+cols) and fold the new
+                # block prior in as appended diagonal columns under one QR
+                from ..ekf.sqrt import sr_add_diag_noise
+
+                P_ins = sr_add_diag_noise(P * keep[:, None], block_var)
+            else:
+                P_ins = P * (keep[:, None] * keep[None, :]) + jnp.diag(block_var)
             m_ins = jnp.where(in_block, jnp.zeros_like(m), m)
             # scatter the triangulated points into their blocks
             put = jnp.zeros((d,), dtype)
@@ -647,7 +659,8 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             mp_ids_arr = mp_ids_arr.at[
                 jnp.where(can_promote, mp_slot_of, M)].set(
                 jnp.where(can_promote, track_ids[order], -1), mode="drop")
-        P = 0.5 * (P + P.T)
+        if not sqrt_mode:
+            P = 0.5 * (P + P.T)
 
         # mark used for accepted tracks (vectorized GAP marking)
         accepted_per_slot = jnp.zeros((T,), bool).at[order].set(accepted, mode="drop")
@@ -716,7 +729,7 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
         if po.useVisualStationarity:
             ekf = jax.lax.cond(
                 stationary_visual,
-                lambda e: update_zupt(e, po.visualZuptR, noise_scale),
+                lambda e: update_zupt(e, po.visualZuptR, noise_scale, sqrt_mode),
                 lambda e: e, ekf)
         state = state._replace(ekf=ekf, frames_since_keyframe=frames_since_kf)
 
@@ -729,7 +742,7 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
         def drop_head(st):
             return st._replace(
                 trail=tr.pop_head_keyframe(st.trail),
-                ekf=undo_augmentation(st.ekf, L, M),
+                ekf=undo_augmentation(st.ekf, L, M, sqrt_mode),
             )
 
         if po.visualUpdateEnabled:
@@ -801,7 +814,7 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
                 state.trail, jnp.where(valid, tracker_in.track_ids, -1), po)
             trail_state = state.trail._replace(frame_counter=counter)
             trail_state = tr.push_head_keyframe(trail_state, removed, frame_number, t_frame)
-            ekf = augment_pose(state.ekf, removed - 1, po)
+            ekf = augment_pose(state.ekf, removed - 1, po, sqrt_mode)
             state = state._replace(ekf=ekf, trail=trail_state)
 
             # tracking status from the good-frame window. The reference's
@@ -862,9 +875,12 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             orientation=ekf.m[ORI:ORI + 4],
             bias_gyro=ekf.m[BGA:BGA + 3],
             bias_acc=ekf.m[13:16],
-            position_cov=ekf.P[POS:POS + 3, POS:POS + 3],
-            velocity_cov=ekf.P[VEL:VEL + 3, VEL:VEL + 3],
-            bias_cov_diag=jnp.diagonal(ekf.P)[BGA:BGA + 9],
+            position_cov=(cov_block(ekf.P, slice(POS, POS + 3)) if sqrt_mode
+                          else ekf.P[POS:POS + 3, POS:POS + 3]),
+            velocity_cov=(cov_block(ekf.P, slice(VEL, VEL + 3)) if sqrt_mode
+                          else ekf.P[VEL:VEL + 3, VEL:VEL + 3]),
+            bias_cov_diag=(cov_diag(ekf.P)[BGA:BGA + 9] if sqrt_mode
+                           else jnp.diagonal(ekf.P)[BGA:BGA + 9]),
             tracking_status=state.tracking_status,
             stationary_visual=stationary_visual,
             point_cloud=pc[0],
