@@ -72,6 +72,20 @@ class KeyFrame:
     # cmd slam group visualizeOrb*/displayKeyframe)
     thumb: Optional[np.ndarray] = None  # (H/2, W/2) gray
     pix_pts: Optional[np.ndarray] = None  # (F, 2) descriptor pixel positions
+    # self-detected multi-scale ORB keypoints (reference: slam.orb* family,
+    # parameter_definitions.c:479-484 — the SLAM module detects its own FAST
+    # keypoints on an orbScaleLevels-level pyramid; slam/keypoints.py). These
+    # make BoW retrieval and loop-closure matching scale-invariant: a place
+    # revisited at 2x the viewing distance re-detects the same corners ~4
+    # pyramid levels up with matching descriptors, where the single-scale
+    # tracker-feature descriptors (rows above) do not match at all.
+    kp_pts: Optional[np.ndarray] = None  # (N, 2) level-0 pixel xy
+    kp_levels: Optional[np.ndarray] = None  # (N,) pyramid level
+    kp_desc: Optional[np.ndarray] = None  # (N, 256) +/-1
+    kp_valid: Optional[np.ndarray] = None  # (N,)
+    # nearest tracker-feature row within a level-scaled radius, or -1: ties a
+    # detected keypoint to that feature's map point for 3D-3D verification
+    kp_track_row: Optional[np.ndarray] = None  # (N,) int32
 
 
 @dataclasses.dataclass
@@ -163,9 +177,24 @@ class Slam:
         self._ba_jit = None
         self._orb_jit = None
         self._match_jit = None
+        self._kp_match_jit = None
         self._pg_jit = None
+        # multi-scale keypoint detector, built lazily per image shape
+        # (reference: slam.orbExtraKeyPoints + orbScaleLevels/orbScaleFactor/
+        # orbInitialFastThreshold/orbMinFastThreshold,
+        # parameter_definitions.c:479-484)
+        self._kp_detector = None
+        self._kp_shape = None
+        self._kp_cap = 0
+        # keypoint -> tracker-feature aliasing radius in level-0 pixels at
+        # pyramid level 0, scaled by orbScaleFactor^level (detection position
+        # granularity grows with level)
+        self.kp_alias_px = 6.0
         self._last_kf_time = -1e18
         self._loop_seed = 0
+        # loop candidates whose 3D-3D verification failed, kept alive for
+        # re-verification on later keyframes: (kf_id, cand_id, tries_left)
+        self._pending_loops: List[Tuple[int, int, int]] = []
         # keep half-res keyframe images + descriptor pixel positions for the
         # ORB/keyframe debug viewers (off by default: memory)
         self.store_keyframe_images = False
@@ -220,17 +249,27 @@ class Slam:
             self._add_descriptors(
                 kf, image,
                 pix_pts[sel].copy() if pix_pts is not None else None)
+            if self.ps.orbExtraKeyPoints:
+                self._add_keypoints(kf, image)
 
         self.keyframes[kf.kf_id] = kf
         self.kf_order.append(kf.kf_id)
         if kf.descriptors is not None:
-            self.vocabulary.add_keyframe(kf.kf_id, kf.descriptors, kf.desc_valid)
+            # BoW over tracker-feature descriptors PLUS the self-detected
+            # multi-scale keypoints: retrieval stays possible when the place
+            # is revisited at a different viewing distance
+            desc, val = kf.descriptors, kf.desc_valid
+            if kf.kp_desc is not None:
+                desc = np.concatenate([desc, kf.kp_desc])
+                val = np.concatenate([np.asarray(val, bool), kf.kp_valid])
+            self.vocabulary.add_keyframe(kf.kf_id, desc, val)
         self._update_map_points(kf, t)
 
         if (self.store_keyframe_images and len(self.kf_order) >= 2
                 and kf.descriptors is not None):
             self._match_adjacent_for_viz(kf)
 
+        retried = self._retry_pending_loops()
         loop = self._detect_loop_closure(kf)
         self._local_ba()
         self._cull_map_points(t)
@@ -239,7 +278,8 @@ class Slam:
         return SlamResult(
             pose_cw=pose_to_mat(self.keyframes[kf.kf_id].pose),
             point_cloud=self._cloud(),
-            loop_closed=loop is not None and loop.applied)
+            loop_closed=(loop is not None and loop.applied)
+            or retried is not None)
 
     def map_points_in_keyframe(self, kf_id: int):
         """(projected_pixels, observed_pixels) of triangulated map points in
@@ -364,10 +404,44 @@ class Slam:
         desc, ok = self._orb_jit(np.asarray(image, np.float32), ppad, vpad)
         kf.descriptors = np.asarray(desc)[:n]
         kf.desc_valid = np.asarray(ok)[:n]
+        kf.pix_pts = np.asarray(pts[:n], np.float32)
         if self.store_keyframe_images:
             img = np.asarray(image, np.float32)
             kf.thumb = img[::2, ::2].copy()
-            kf.pix_pts = np.asarray(pts[:n], np.float32)
+
+    def _add_keypoints(self, kf: KeyFrame, image) -> None:
+        """Self-detected multi-scale ORB keypoints (reference: slam.orb*
+        family, parameter_definitions.c:479-484; slam/keypoints.py docstring
+        for the TPU-native detector shape). Each keypoint is aliased to the
+        nearest tracker feature within a level-scaled pixel radius, tying it
+        to that feature's map point so scale-invariant keypoint matches
+        convert to 3D-3D pairs for loop-closure verification."""
+        ps = self.ps
+        image = np.asarray(image, np.float32)
+        H, W = image.shape
+        if self._kp_detector is None or self._kp_shape != (H, W):
+            from .keypoints import make_multiscale_orb
+
+            self._kp_detector, self._kp_cap = make_multiscale_orb(
+                H, W, n_levels=int(ps.orbScaleLevels),
+                scale_factor=float(ps.orbScaleFactor),
+                thr_init=float(ps.orbInitialFastThreshold) / 255.0,
+                thr_min=float(ps.orbMinFastThreshold) / 255.0)
+            self._kp_shape = (H, W)
+        pts, lvl, desc, ok = self._kp_detector(image)
+        kf.kp_pts, kf.kp_levels = pts, lvl
+        # +/-1 descriptors as int8: a keyframe's keypoint bank is ~260 kB in
+        # f32; int8 quarters it (numpy upcasts on use)
+        kf.kp_desc, kf.kp_valid = desc.astype(np.int8), ok
+        feat_px = kf.pix_pts
+        if feat_px is not None and len(feat_px):
+            d = np.linalg.norm(pts[:, None, :] - feat_px[None, :, :], axis=-1)
+            j = np.argmin(d, axis=1)
+            dmin = d[np.arange(len(pts)), j]
+            rad = self.kp_alias_px * (float(ps.orbScaleFactor) ** lvl)
+            kf.kp_track_row = np.where(ok & (dmin <= rad), j, -1).astype(np.int32)
+        else:
+            kf.kp_track_row = np.full(len(pts), -1, np.int32)
 
     def _match_fn(self):
         """Host-jitted mutual/Lowe descriptor matcher (one CPU program call
@@ -380,6 +454,59 @@ class Slam:
                 lambda da, va, db, vb: match_descriptors(
                     da, va, db, vb, lowe_ratio=lr))
         return self._match_jit
+
+    def _loop_matches(self, kf: KeyFrame, cand: KeyFrame):
+        """Descriptor matches between two keyframes for loop closure.
+
+        Prefers the self-detected multi-scale keypoints (scale-invariant;
+        reference: the SLAM module matches its own pyramid ORB features,
+        slam.orb* parameters) and converts keypoint matches to tracker-row
+        pairs via the per-keypoint map-point aliasing, so the existing 3D-3D
+        similarity verification applies unchanged. Falls back to the
+        single-scale tracker-feature descriptors when either side predates
+        orbExtraKeyPoints. Returns (n_raw_descriptor_matches,
+        [(row_in_kf, row_in_cand)])."""
+        if (kf.kp_desc is not None and cand.kp_desc is not None
+                and kf.kp_track_row is not None and cand.kp_track_row is not None):
+            Ta, Tb = kf.kp_desc.shape[0], cand.kp_desc.shape[0]
+            P = 64 * ((max(Ta, Tb) + 63) // 64)
+            da = np.zeros((P, 256), np.float32); da[:Ta] = kf.kp_desc
+            va = np.zeros(P, bool); va[:Ta] = kf.kp_valid
+            db = np.zeros((P, 256), np.float32); db[:Tb] = cand.kp_desc
+            vb = np.zeros(P, bool); vb[:Tb] = cand.kp_valid
+            if self._kp_match_jit is None:
+                from .orb import match_descriptors
+
+                lr = float(self.ps.loopClosureFeatureMatchLoweRatio)
+                self._kp_match_jit = host_jit(
+                    lambda a, x, b, y: match_descriptors(
+                        a, x, b, y, lowe_ratio=lr))
+            midx, _ = self._kp_match_jit(da, va, db, vb)
+            midx = np.asarray(midx)[:Ta]
+            n_raw = 0
+            pairs, seen = [], set()
+            for i, j in enumerate(midx):
+                if not (0 <= j < Tb):
+                    continue
+                n_raw += 1
+                ra = int(kf.kp_track_row[i])
+                rb = int(cand.kp_track_row[int(j)])
+                if ra < 0 or rb < 0 or (ra, rb) in seen:
+                    continue
+                seen.add((ra, rb))
+                pairs.append((ra, rb))
+            return n_raw, pairs
+
+        Ta, Tb = kf.descriptors.shape[0], cand.descriptors.shape[0]
+        PAD = 256
+        da = np.zeros((PAD, 256), np.float32); da[:Ta] = kf.descriptors
+        va = np.zeros(PAD, bool); va[:Ta] = kf.desc_valid
+        db = np.zeros((PAD, 256), np.float32); db[:Tb] = cand.descriptors
+        vb = np.zeros(PAD, bool); vb[:Tb] = cand.desc_valid
+        midx, _ = self._match_fn()(da, va, db, vb)
+        midx = np.asarray(midx)[:Ta]
+        matches = [(i, int(j)) for i, j in enumerate(midx) if 0 <= j < Tb]
+        return len(matches), matches
 
     def _match_adjacent_for_viz(self, kf: KeyFrame) -> None:
         """ORB matches between the two newest keyframes, kept for the
@@ -578,10 +705,20 @@ class Slam:
                 lambda prob: ba_iterate(prob, iterations=8))
         return self._ba_jit
 
-    def _local_ba(self, window: Optional[List[int]] = None) -> None:
+    def _local_ba(self, window: Optional[List[int]] = None,
+                  prior_from_current: bool = False) -> None:
         """(reference: applyLocalBundleAdjustment over localBAProblemSize
         keyframes with odometry priors); window selects explicit keyframe ids
-        (used by end()'s global sweeps), default = the last NK."""
+        (used by end()'s global sweeps), default = the last NK.
+
+        prior_from_current: build the relative-pose priors from the CURRENT
+        (already loop-corrected) keyframe poses instead of raw odometry.
+        Used by the post-loop global structure BA: raw odometry relative
+        steps still encode the drift the pose graph just removed, and a BA
+        anchored to them faithfully re-applies that drift (measured:
+        tests/test_global_ba_after_loop.py). The pose-graph output is the
+        best available trajectory — the structure BA's job is to make the
+        map consistent with it, polishing poses only locally."""
         if not self.ps.applyLocalBundleAdjustment and window is None:
             return
         if len(self.kf_order) < max(self.ps.minKeyframesInBA, 2):
@@ -621,7 +758,10 @@ class Slam:
         rel = np.zeros((NK - 1, 7)); rel[:, 3] = 1.0
         prior_mask = np.zeros(NK - 1, bool)
         for i in range(nk - 1):
-            rel[i] = np_relative_pose(kfs[i].odo_pose, kfs[i + 1].odo_pose)
+            if prior_from_current:
+                rel[i] = np_relative_pose(kfs[i].pose, kfs[i + 1].pose)
+            else:
+                rel[i] = np_relative_pose(kfs[i].odo_pose, kfs[i + 1].odo_pose)
             prior_mask[i] = True
 
         prob = BAProblem(
@@ -684,28 +824,60 @@ class Slam:
             shared = sum(1 for i in cand.track_ids if int(i) in kf_tracks)
             if shared >= ps.minNeighbourCovisiblitities:
                 continue
-            Ta, Tb = kf.descriptors.shape[0], cand.descriptors.shape[0]
-            PAD = 256
-            da = np.zeros((PAD, 256), np.float32); da[:Ta] = kf.descriptors
-            va = np.zeros(PAD, bool); va[:Ta] = kf.desc_valid
-            db = np.zeros((PAD, 256), np.float32); db[:Tb] = cand.descriptors
-            vb = np.zeros(PAD, bool); vb[:Tb] = cand.desc_valid
-            midx, _ = self._match_fn()(da, va, db, vb)
-            midx = np.asarray(midx)[:Ta]
-            matches = [(i, int(j)) for i, j in enumerate(midx) if 0 <= j < Tb]
-            if len(matches) < ps.minLoopClosureFeatureMatches:
+            n_raw, matches = self._loop_matches(kf, cand)
+            if n_raw < ps.minLoopClosureFeatureMatches:
                 continue
 
             applied = self._verify_and_apply(kf, cand, matches)
-            ev = LoopClosureEvent(kf.kf_id, cand.kf_id, len(matches), applied,
+            ev = LoopClosureEvent(kf.kf_id, cand.kf_id, n_raw, applied,
                                   matches=(list(matches)
                                            if self.store_keyframe_images else None))
             self.loop_events.append(ev)
+            if not applied:
+                # keep the appearance link alive: verification commonly fails
+                # on the FIRST keyframe of a revisit because its map points
+                # are not triangulated yet, and BoW retrieval may never fire
+                # again for this revisit (adjacent-score normalization); a
+                # few re-verifications on later keyframes recover the loop
+                self._pending_loops.append((kf.kf_id, cand.kf_id, 3))
             if best_ev is None or applied:
                 best_ev = ev
             if applied:
                 break
         return best_ev
+
+    def _retry_pending_loops(self) -> Optional[LoopClosureEvent]:
+        """Re-verify queued loop candidates whose 3D-3D check failed earlier.
+
+        Structure triangulates a few keyframes after a revisit begins (each
+        map point needs >=2 observations + parallax), while BoW retrieval of
+        the old place typically fires only once; this bridge keeps the
+        verified-appearance pair alive until both sides carry triangulated
+        points. Analog of the ORB-SLAM family's multi-keyframe loop
+        consistency window."""
+        if not self._pending_loops:
+            return None
+        applied_ev = None
+        still: List[Tuple[int, int, int]] = []
+        for kf_id, cand_id, tries in self._pending_loops:
+            if applied_ev is not None and applied_ev.kf_id == kf_id:
+                continue  # this revisit already closed via a sibling pair
+            kf, cand = self.keyframes.get(kf_id), self.keyframes.get(cand_id)
+            if kf is None or cand is None:
+                continue  # a side was culled
+            n_raw, matches = self._loop_matches(kf, cand)
+            if n_raw < self.ps.minLoopClosureFeatureMatches:
+                continue  # appearance link no longer holds
+            if self._verify_and_apply(kf, cand, matches):
+                applied_ev = LoopClosureEvent(
+                    kf_id, cand_id, n_raw, True,
+                    matches=(list(matches)
+                             if self.store_keyframe_images else None))
+                self.loop_events.append(applied_ev)
+            elif tries > 1:
+                still.append((kf_id, cand_id, tries - 1))
+        self._pending_loops = still
+        return applied_ev
 
     def _verify_and_apply(self, kf: KeyFrame, cand: KeyFrame, matches) -> bool:
         """Geometric verification (3D-3D similarity RANSAC over matched map
@@ -792,6 +964,15 @@ class Slam:
         # old keyframe, so gating on pair novelty alone would not bound it)
         significant = (drift_m > max(0.01 * max(scene, 1.0), 0.02)
                        or ang > 0.01)
+        # fuse duplicate landmarks FIRST: the RANSAC-verified pairs observe
+        # the same physical point from the two sides of the loop (reference:
+        # map-point fusion on loop closure, OpenVSLAM lineage). Fusing before
+        # the global solves puts the loop constraint INTO the structure-BA
+        # problem via the shared points — with separate duplicates the BA's
+        # only cross-loop links are the drifted odometry priors, and it
+        # faithfully re-applies the drift the pose graph just removed
+        # (measured: tests/test_global_ba_after_loop.py).
+        self._merge_matched_points(pair_pts, inl)
         if ps.loopClosureRigidTransform:
             self._apply_loop_correction(R, tvec, s, since_kf=cand.kf_id)
         elif significant:
@@ -800,10 +981,6 @@ class Slam:
                                  iterations=self.ps.poseBAIterations + 5)
             if ps.globalBAAfterLoop:
                 self._global_structure_ba()
-        # fuse duplicate landmarks: the RANSAC-verified pairs observe the
-        # same physical point from the two sides of the loop (reference:
-        # map-point fusion after loop closure, OpenVSLAM lineage)
-        self._merge_matched_points(pair_pts, inl)
         return True
 
     def _merge_matched_points(self, pair_pts, inlier_mask) -> None:
@@ -941,7 +1118,8 @@ class Slam:
         n = len(self.kf_order)
         step = max(NK // 2, 1)
         for start in range(0, max(n - NK, 0) + 1, step):
-            self._local_ba(window=self.kf_order[start:start + NK])
+            self._local_ba(window=self.kf_order[start:start + NK],
+                           prior_from_current=True)
             if start + NK >= n:
                 break
 

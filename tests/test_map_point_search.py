@@ -110,6 +110,46 @@ def test_reassociation_reuses_point_ids_across_track_breaks():
     assert reused / total >= 0.75, (reused, total)
 
 
+def test_map_point_search_recall_precision():
+    """MEASURED recall/precision of the search itself (VERDICT r3 item 3
+    done-criterion: the search gets a number like the vocabulary has).
+
+    Ground truth: track id = lap*1000 + landmark index, so a proposed
+    (feature row -> point_id) association is correct iff the point was first
+    created for the same landmark index. An 'opportunity' is an unknown row
+    whose landmark already has a triangulated map point — exactly what the
+    search exists to find."""
+    slam = Slam(_params())
+    gt_events = {"opportunities": 0, "correct": 0, "proposed": 0}
+    orig = slam._map_point_search
+
+    def instrumented(kf, idxs):
+        out = orig(kf, idxs)
+        lm_of_point = {
+            pid: mp.track_id % 1000 for pid, mp in slam.points.items()}
+        findable = {mp.track_id % 1000
+                    for mp in slam.points.values() if mp.triangulated}
+        for i in idxs:
+            lm = int(kf.track_ids[i]) % 1000
+            if lm in findable:
+                gt_events["opportunities"] += 1
+        for i, pid in out.items():
+            gt_events["proposed"] += 1
+            if lm_of_point.get(pid) == int(kf.track_ids[i]) % 1000:
+                gt_events["correct"] += 1
+        return out
+
+    slam._map_point_search = instrumented
+    _drive_laps(slam, n_laps=3)
+    assert gt_events["opportunities"] >= 20, gt_events
+    recall = gt_events["correct"] / gt_events["opportunities"]
+    precision = gt_events["correct"] / max(gt_events["proposed"], 1)
+    print(f"\nmap-point search recall={recall:.3f} "
+          f"precision={precision:.3f} ({gt_events})")
+    assert recall >= 0.6, f"search recall too low: {recall:.3f} {gt_events}"
+    assert precision >= 0.8, f"search precision too low: {precision:.3f} {gt_events}"
+
+
 def test_no_descriptors_means_no_reassociation():
     """Without images/descriptors the search cannot match; every track break
     duplicates points (the documented fallback behavior)."""
