@@ -143,6 +143,7 @@ class VioApi:
         # setVisualization, internal.hpp:287 + VisualizationMode:66-81)
         self._visualization = 0  # VisualizationMode.NONE
         self._last_images: tuple = (None, None)
+        self._stage_probes = None  # built on first -timer frame
         self._threshold_warned = 0.01
         self._frame_count = 0
 
@@ -423,6 +424,23 @@ class VioApi:
             with self.time_stats.scope("visual update + augmentation"):
                 self._state, out = self._backend_stage(self._state, tin)
                 jax.block_until_ready(out.position)
+            # per-frame sub-stage attribution: run the front-end sub-programs
+            # on THIS frame's images and track positions and accumulate one
+            # sample per label (the reference accumulates per-label stats
+            # across every frame, util/timer.hpp:15-55 + main.cpp:1008-1016;
+            # a last-frame-only re-timing hides the distribution)
+            if self._stage_probes is None:
+                from ..utils.stage_attribution import StageProbes
+
+                H, W = np.asarray(image).shape[:2]
+                self._stage_probes = StageProbes(
+                    self.params, self.cameras, H, W,
+                    self.params.tracker.useStereo)
+            for label, sec in self._stage_probes.run_frame(
+                    imgs[0], imgs[1] if len(imgs) > 1 else None,
+                    tin.pixels[:, 0, :].astype(jnp.float32),
+                    tin.track_ids >= 0).items():
+                self.time_stats.add_sample(label, sec)
         elif self.params.tracker.useStereo:
             self._state, out = self._vio_step(
                 self._state, batch, jnp.asarray(image, jnp.float32),
@@ -548,12 +566,15 @@ class VioApi:
             self.reset(keep_pose=True, t=t)
 
     def attribute_stages(self, reps: int = 5) -> dict:
-        """Fold per-stage attribution into the `-timer` report: times the
-        front-end sub-programs (pyramids / LK / stereo match / detection /
-        each configured RANSAC variant) on the LAST processed frame's data
-        and records them via TimeStats.add_attribution, giving the
-        reference's per-label table (reference: main.cpp:1008-1016,
-        ransac_pipeline.cpp:206-283). Returns the {label: ms} dict."""
+        """Fill in per-stage attribution for the `-timer` report IF the
+        per-frame accumulation did not run (the sub-stage labels normally
+        accumulate one sample per frame during the run via StageProbes —
+        the reference's accumulate-every-frame semantics,
+        util/timer.hpp:15-55 + main.cpp:1008-1016). Kept as a fallback for
+        sessions where time_stats was enabled only at exit; times the
+        sub-programs on the LAST frame's data. Returns the {label: ms} dict."""
+        if self._stage_probes is not None:
+            return {}  # per-frame samples already accumulated in time_stats
         gray, second = self._last_images
         if gray is None:
             return {}

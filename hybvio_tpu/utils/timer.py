@@ -47,6 +47,13 @@ class TimeStats:
             self.totals[name] += time.perf_counter() - t0
             self.counts[name] += 1
 
+    def add_sample(self, name: str, seconds: float) -> None:
+        """Accumulate one externally timed sample into a label (used by the
+        per-frame StageProbes attribution: one sample per label per frame,
+        so per_frame_timings reports the mean over the actual run)."""
+        self.totals[name] += seconds
+        self.counts[name] += 1
+
     def add_attribution(self, name: str, ms_per_frame: float) -> None:
         """Record an externally measured per-frame stage time.
 

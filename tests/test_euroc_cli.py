@@ -100,3 +100,13 @@ def test_stereo_cli_timer_reports_stage_labels(tmp_path):
     for needle in ("KF predict", "optical flow", "keypoint detection",
                    "ransac2", "stereo", "pyramids", "visual update"):
         assert needle in text, (needle, labels)
+    # sub-stage labels must be PER-FRAME accumulations from the actual run
+    # (one sample per frame, reference util/timer.hpp:15-55), not a
+    # last-frame-only re-timing: the report tags real accumulations with
+    # their sample count (xN), attributed one-offs with [attributed]
+    import re
+    for sub in ("optical flow", "keypoint detection", "ransac2"):
+        line = next(l for l in report.splitlines() if sub in l)
+        m = re.search(r"\(x(\d+)\)", line)
+        assert m, f"{sub} not per-frame accumulated: {line}"
+        assert int(m.group(1)) >= 10, f"{sub} too few samples: {line}"
