@@ -15,6 +15,7 @@ path costs one padded scan per frame instead of per-sample dispatches).
 from __future__ import annotations
 
 import dataclasses
+import os
 import threading
 from typing import Callable, List, Optional
 
@@ -58,7 +59,8 @@ class VioApi:
 
     def __init__(self, params: Parameters, width: int, height: int,
                  dtype=None, max_imu_per_frame: int = 64, jit: bool = True,
-                 recording_only: bool = False):
+                 recording_only: bool = False,
+                 native_sync: Optional[bool] = None):
         import jax
         import jax.numpy as jnp
 
@@ -103,7 +105,25 @@ class VioApi:
             self._backend_stage = jax.jit(vio_step.backend_stage) if jit else vio_step.backend_stage
         self._jnp = jnp
 
-        self.sample_sync = SampleSync(params.odometry)
+        # sample synchronizer: the native (C++) implementation is the default
+        # hot path (reference: sample_sync.cpp is C++ in-process too);
+        # native_sync=None auto-selects it when the library is built and the
+        # config has no per-camera shift averaging (which the Python
+        # implementation handles in add_frame). HYBVIO_NATIVE_SYNC=0 forces
+        # the pure-Python synchronizer.
+        self.sample_sync = None
+        if native_sync is None:
+            native_sync = (os.environ.get("HYBVIO_NATIVE_SYNC", "1") != "0"
+                           and params.odometry.secondImuToCameraShiftSeconds == 0.0)
+        if native_sync:
+            try:
+                from ..io.native_sync import NativeSampleSync
+
+                self.sample_sync = NativeSampleSync(params.odometry)
+            except Exception:
+                self.sample_sync = None  # fall back below
+        if self.sample_sync is None:
+            self.sample_sync = SampleSync(params.odometry)
         self.on_output: Optional[Callable[[VioOutput], None]] = None
         self.recorder: Optional[Recorder] = None
         self.debug_api = None  # optional odometry.debug.DebugAPI
@@ -235,6 +255,64 @@ class VioApi:
             if self.recording_only:
                 return  # (reference: api.cpp:542,585)
             self.sample_sync.add_frame(t, first_image=self._to_gray(image))
+
+    def add_frame_mono_varying(self, t: float, image, intrinsics) -> None:
+        """Mono frame with per-frame intrinsics (reference:
+        InternalAPI::addFrameMonoVarying, internal.hpp:216-230 — mobile
+        autofocus changes the focal length mid-session).
+
+        intrinsics: dict with focalLengthX/focalLengthY/principalPointX/
+        principalPointY (reference JSONL cameraParameters spelling,
+        input_jsonl.cpp:119-199) or a (fx, fy[, cx, cy[, coeffs]]) sequence.
+        The values ride the jitted step as DYNAMIC arrays (same compiled
+        program for every lens state)."""
+        if self.params.tracker.useStereo:
+            raise ValueError("varying intrinsics supported for mono only")
+        intr = self._normalize_intrinsics(intrinsics)
+        with self._lock:
+            if self.recorder:
+                self.recorder.frame(t, [image], camera_params=[{
+                    "focalLengthX": intr[0], "focalLengthY": intr[1],
+                    "principalPointX": intr[2], "principalPointY": intr[3]}])
+            if self.recording_only:
+                return
+            self.sample_sync.add_frame(t, first_image=self._to_gray(image),
+                                       intrinsics=intr)
+
+    def _normalize_intrinsics(self, intrinsics):
+        """-> (fx, fy, cx, cy, coeffs_or_None) floats."""
+        if isinstance(intrinsics, dict):
+            fx = intrinsics.get("focalLengthX", intrinsics.get("fx", -1.0))
+            fy = intrinsics.get("focalLengthY", intrinsics.get("fy", fx))
+            cx = intrinsics.get("principalPointX", intrinsics.get("cx", -1.0))
+            cy = intrinsics.get("principalPointY", intrinsics.get("cy", -1.0))
+            coeffs = intrinsics.get("distortionCoefficients",
+                                    intrinsics.get("coeffs"))
+        else:
+            seq = list(intrinsics)
+            fx = seq[0]
+            fy = seq[1] if len(seq) > 1 else fx
+            cx = seq[2] if len(seq) > 2 else -1.0
+            cy = seq[3] if len(seq) > 3 else -1.0
+            coeffs = seq[4] if len(seq) > 4 else None
+        if fx <= 0:
+            raise ValueError("varying intrinsics need a positive focal length")
+        if fy <= 0:
+            fy = fx
+        base = self.cameras[0]
+        if cx <= 0:
+            cx = float(np.asarray(base.cx))
+        if cy <= 0:
+            cy = float(np.asarray(base.cy))
+        return (float(fx), float(fy), float(cx), float(cy),
+                tuple(coeffs) if coeffs is not None else None)
+
+    def _varying_camera(self, intr):
+        """Dynamic per-frame Camera pytree from normalized intrinsics."""
+        from ..geometry.cameras import with_intrinsics
+
+        return with_intrinsics(self.cameras[0], intr[0], intr[1], intr[2],
+                               intr[3], coeffs=intr[4])
 
     def add_frame_stereo(self, t: float, first, second) -> None:
         with self._lock:
@@ -372,6 +450,10 @@ class VioApi:
         frame = synced.frame
         image = frame.first_image
         second = frame.second_image
+        # per-frame varying intrinsics ride the jitted step as a dynamic
+        # Camera pytree (same compiled program across lens states)
+        cam0_dyn = (self._varying_camera(frame.intrinsics)
+                    if getattr(frame, "intrinsics", None) is not None else None)
 
         if self._state is None:
             self._ensure_state(image, synced.t, second)
@@ -419,10 +501,12 @@ class VioApi:
                 imgs = imgs + (jnp.asarray(second, jnp.float32),)
             with self.time_stats.scope("tracker (flow+LK+detect+RANSAC)"):
                 self._state, tin = self._track_stage(
-                    self._state, jnp.asarray(batch.t[-1], self._dtype), *imgs)
+                    self._state, jnp.asarray(batch.t[-1], self._dtype), *imgs,
+                    camera0=cam0_dyn)
                 jax.block_until_ready(tin.pixels)
             with self.time_stats.scope("visual update + augmentation"):
-                self._state, out = self._backend_stage(self._state, tin)
+                self._state, out = self._backend_stage(self._state, tin,
+                                                       camera0=cam0_dyn)
                 jax.block_until_ready(out.position)
             # per-frame sub-stage attribution: run the front-end sub-programs
             # on THIS frame's images and track positions and accumulate one
@@ -445,6 +529,10 @@ class VioApi:
             self._state, out = self._vio_step(
                 self._state, batch, jnp.asarray(image, jnp.float32),
                 jnp.asarray(second, jnp.float32))
+        elif cam0_dyn is not None:
+            self._state, out = self._vio_step(
+                self._state, batch, jnp.asarray(image, jnp.float32),
+                None, cam0_dyn)
         else:
             self._state, out = self._vio_step(
                 self._state, batch, jnp.asarray(image, jnp.float32))

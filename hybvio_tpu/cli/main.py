@@ -281,11 +281,13 @@ def run(argv=None) -> int:
         frame_scale = target / float(max(W, H))
         if tfw_up <= 0:
             frame_scale = min(frame_scale, 1.0)
+    intr_scale = (1.0, 1.0)  # per-frame intrinsics follow the frame scaling
     if frame_scale != 1.0:
         from ..frontend.image_utils import resize_bilinear_np
 
         newW, newH = round(W * frame_scale), round(H * frame_scale)
         sx, sy = newW / W, newH / H
+        intr_scale = (sx, sy)
         for name, s in (("focalLength", sx), ("focalLengthX", sx),
                         ("focalLengthY", sy), ("principalPointX", sx),
                         ("principalPointY", sy),
@@ -368,6 +370,7 @@ def run(argv=None) -> int:
     last_img = [None]
     pc_history: list = []
     prev_gray = [None]
+    varying_intrinsics = [False]  # latches once a frame's lens differs
 
     def jnp_asarray_f32(a):
         import jax.numpy as jnp
@@ -620,7 +623,34 @@ def run(argv=None) -> int:
             if img2 is not None:
                 api.add_frame_stereo(ev.t, img, img2)
             else:
-                api.add_frame_mono(ev.t, img)
+                # per-frame VARYING intrinsics (reference: the JSONL reader
+                # updates the camera from every frame's cameraParameters,
+                # input_jsonl.cpp:119-199 -> addFrameMonoVarying,
+                # internal.hpp:216-230). Route through the varying API from
+                # the first frame whose lens differs from the session camera
+                # (mobile autofocus); fixed-lens inputs keep the plain path.
+                fr0 = ev.frames[0] if ev.frames else None
+                if fr0 is not None and fr0.focal_length_x > 0:
+                    fx = fr0.focal_length_x * intr_scale[0]
+                    fy = (fr0.focal_length_y if fr0.focal_length_y > 0
+                          else fr0.focal_length_x) * intr_scale[1]
+                    cx = (fr0.principal_point_x * intr_scale[0]
+                          if fr0.principal_point_x >= 0 else -1.0)
+                    cy = (fr0.principal_point_y * intr_scale[1]
+                          if fr0.principal_point_y >= 0 else -1.0)
+                    base = api.cameras[0]
+                    if not varying_intrinsics[0]:
+                        varying_intrinsics[0] = (
+                            abs(fx - float(np.asarray(base.fx))) > 1e-6 * fx
+                            or abs(fy - float(np.asarray(base.fy))) > 1e-6 * fy
+                            or (cx >= 0 and abs(cx - float(np.asarray(base.cx))) > 1e-6 * max(cx, 1.0)))
+                    if varying_intrinsics[0]:
+                        api.add_frame_mono_varying(
+                            ev.t, img, (fx, fy, cx, cy))
+                    else:
+                        api.add_frame_mono(ev.t, img)
+                else:
+                    api.add_frame_mono(ev.t, img)
             n_frames += 1
             if max_frames and n_frames >= max_frames:
                 break

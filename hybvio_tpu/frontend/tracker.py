@@ -208,8 +208,23 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
 
     def track_frame(ts: TrackerState, image, rng_key, t,
                     flow_guess=None, blacklist_flags=None, blacklist_ids=None,
-                    second_image=None, stereo_guess=None, pose_rot=None):
-        """Process one new frame; returns (new_state, TrackerOutput)."""
+                    second_image=None, stereo_guess=None, pose_rot=None,
+                    camera0=None):
+        """Process one new frame; returns (new_state, TrackerOutput).
+
+        camera0: optional dynamic Camera overriding the static cam0 for this
+        frame (per-frame varying intrinsics; mono only — the stereo geometry
+        constants are baked). Same pytree structure as cam0 => no retrace.
+        """
+        if camera0 is not None:
+            assert not use_stereo, "varying intrinsics supported for mono only"
+            c0 = camera0
+            # R5 threshold scales with the CURRENT focal length
+            # (reference: ransac_pipeline.cpp:329 divides by the lens focal)
+            r5_threshold = pt.ransac5Threshold / ((c0.fx + c0.fy) * 0.5)
+        else:
+            c0 = cam0
+            r5_threshold = ransac5_threshold
         img = jnp.asarray(image, dtype=dtype)
         cur_pyr = build_pyramid(img, lk_params.max_level)
         from .pyramid import scharr_gradients as _scharr
@@ -249,8 +264,8 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
         # mono uses the hybrid R2/R5 selection) ---
         rng_key, r_key = jax.random.split(rng_key)
         from ..geometry.cameras import normalize_pixel as _norm_px
-        n1, ok_n1 = _norm_px(cam0, prev_px)
-        n2, ok_n2 = _norm_px(cam0, new_px)
+        n1, ok_n1 = _norm_px(c0, prev_px)
+        n2, ok_n2 = _norm_px(c0, new_px)
         valid_n = tracked & ok_n1 & ok_n2
         stereo_pose_ransac = use_stereo and (
             pt.useRansac3 or (pt.useStereoUpright2p and pose_rot is not None))
@@ -258,7 +273,7 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
             # reference dispatch (ransac_pipeline.cpp:121-133): with RANSAC3 /
             # upright-2p active, the hybrid R2/R5 is NOT run — R2 alone still
             # runs for the stationarity score
-            r2only = ransac2(cam0, cam0, prev_px, new_px, valid_n, r_key,
+            r2only = ransac2(c0, c0, prev_px, new_px, valid_n, r_key,
                              ransac2_threshold)
             from .ransac import HybridRansacResult
 
@@ -266,14 +281,14 @@ def make_tracker(params, cameras, max_tracks: Optional[int] = None, dtype=jnp.fl
                 inliers=r2only.inliers, score=r2only.score,
                 used_r5=jnp.zeros((), bool), skipped=jnp.sum(valid_n) < 2)
         elif pt.useHybridRansac:
-            hr = hybrid_ransac(cam0, cam0, prev_px, new_px, n1, n2,
+            hr = hybrid_ransac(c0, c0, prev_px, new_px, n1, n2,
                                valid_n, r_key, pt,
-                               ransac2_threshold, ransac5_threshold)
+                               ransac2_threshold, r5_threshold)
         else:
             # useHybridRansac=false (reference: ransac_pipeline.cpp:128,
             # 135-137 else-branch): R2 still computes the stationarity
             # score but NO ransac invalidates tracks
-            r2only = ransac2(cam0, cam0, prev_px, new_px, valid_n, r_key,
+            r2only = ransac2(c0, c0, prev_px, new_px, valid_n, r_key,
                              ransac2_threshold)
             from .ransac import HybridRansacResult
 

@@ -96,6 +96,31 @@ def build_fisheye(fx, fy, cx, cy, coeffs=(), max_valid_fov_deg=180.0,
     )
 
 
+def with_intrinsics(cam: Camera, fx, fy=None, cx=None, cy=None, coeffs=None) -> Camera:
+    """Same camera model with replaced intrinsics (per-frame varying lens).
+
+    The returned Camera shares `cam`'s STATIC pytree structure (kind,
+    distortion/rotation flags, width/height), so feeding it as a dynamic
+    argument to a jitted step re-uses the compiled program — the TPU-native
+    form of the reference's per-frame intrinsics ingestion
+    (addFrameMonoVarying, src/api/internal.hpp:216-230; the JSONL reader's
+    per-frame cameraParameters, src/commandline/input_jsonl.cpp:119-199).
+    Distortion coefficients are replaced only when the base camera was built
+    WITH distortion (the flag is static); otherwise they are ignored.
+    """
+    dt = cam.fx.dtype
+    a = lambda x: jnp.asarray(x, dtype=dt)
+    return dataclasses.replace(
+        cam,
+        fx=a(fx),
+        fy=a(fy if fy is not None else fx),
+        cx=a(cx) if cx is not None else cam.cx,
+        cy=a(cy) if cy is not None else cam.cy,
+        coeffs=(a(np.pad(np.asarray(coeffs, np.float64), (0, 4))[:4])
+                if (coeffs is not None and cam.has_distortion) else cam.coeffs),
+    )
+
+
 def build_camera_from_params(pt, width: int, height: int, second: bool = False, dtype=jnp.float64) -> Camera:
     """Build from ParametersTracker with automatic fallbacks (reference:
     src/tracker/util.cpp automaticCameraParametersWhereUnset + buildCamera)."""

@@ -90,11 +90,13 @@ class NativeSampleSync:
     def add_sample_follower(self, t, p):
         self._lib.sample_sync_add_follower(self._h, float(t), self._vec(p))
 
-    def add_frame(self, t, first_image=None, second_image=None, tag=None):
+    def add_frame(self, t, first_image=None, second_image=None, tag=None,
+                  intrinsics=None):
         handle = self._next_handle
         self._next_handle += 1
         fr = ProcessedFrame(t=float(t), first_image=first_image,
-                            second_image=second_image, tag=tag)
+                            second_image=second_image, tag=tag,
+                            intrinsics=intrinsics)
         kept = self._lib.sample_sync_add_frame(self._h, float(t), handle)
         if kept:
             self._frames[handle] = fr

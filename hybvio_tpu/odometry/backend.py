@@ -180,6 +180,20 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
     # triangulation.cpp:409-608; storage parity: ekf_state_index.hpp:26-78)
     use_indep_stereo = use_stereo and bool(po.useIndependentStereoTriangulation)
 
+    def focal_thresholds(camera0):
+        """(visual_r, rmse_thr0, chi_r0) scaled by the focal length — static
+        floats normally; traced scalars when a dynamic per-frame camera is in
+        play (varying intrinsics: the measurement noise in normalized
+        coordinates scales with the CURRENT lens focal)."""
+        if camera0 is None:
+            f = float(_focal(cameras[0]))
+        else:
+            f = ((camera0.fx + camera0.fy) * 0.5).astype(dtype)
+        visual_r = po.visualR / f
+        rmse_thr0 = po.trackRmseThreshold / f if po.trackRmseThreshold >= 0 else -1.0
+        chi_r0 = po.trackChiTestOutlierR / f if po.trackChiTestOutlierR >= 0 else -1.0
+        return visual_r, rmse_thr0, chi_r0
+
     def stereo_args(trail_state, slot):
         """Per-track stereo idp/cov/valid rows for prepare()."""
         if not use_indep_stereo:
@@ -251,7 +265,7 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
 
     @_highest_precision
     def visual_update_phase(state: BackendState, track_ids, norm_pts, valid,
-                            rng, full_visual_update):
+                            rng, full_visual_update, camera0=None):
         trail_state = state.trail
         ekf = state.ekf
 
@@ -313,13 +327,7 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
         )
         order = jnp.argsort(priority)[:NV]  # (NV,) slot indices
 
-        visual_r = po.visualR / float(_focal(cameras[0]))
-        rmse_thr0 = po.trackRmseThreshold / float(_focal(cameras[0]))
-        chi_r0 = po.trackChiTestOutlierR / float(_focal(cameras[0]))
-        if po.trackRmseThreshold < 0:
-            rmse_thr0 = -1.0
-        if po.trackChiTestOutlierR < 0:
-            chi_r0 = -1.0
+        visual_r, rmse_thr0, chi_r0 = focal_thresholds(camera0)
 
         # --- the sequential per-track update scan ---
         def body(carry, slot):
@@ -462,7 +470,8 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
 
     @_highest_precision
     def visual_update_phase_batched(state: BackendState, track_ids, norm_pts,
-                                    valid, rng, full_visual_update):
+                                    valid, rng, full_visual_update,
+                                    camera0=None):
         """Batched visual update (reference: batchVisualUpdate mode,
         backend.cpp:1005-1010,1170-1187): all candidate tracks triangulate and
         gate in PARALLEL against the same pre-update state, and the accepted
@@ -521,9 +530,7 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
         order = jnp.argsort(priority)[:NV]
         mp_ordered = is_map_point[order]
 
-        visual_r = po.visualR / float(_focal(cameras[0]))
-        rmse_thr0 = po.trackRmseThreshold / float(_focal(cameras[0])) if po.trackRmseThreshold >= 0 else -1.0
-        chi_r0 = po.trackChiTestOutlierR / float(_focal(cameras[0])) if po.trackChiTestOutlierR >= 0 else -1.0
+        visual_r, rmse_thr0, chi_r0 = focal_thresholds(camera0)
 
         pose_states = gather_pose_states(ekf.m)
         trail_index = jnp.arange(K, dtype=jnp.int32)
@@ -710,7 +717,8 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
     use_batched = bool(getattr(po, "batchVisualUpdate", False))
 
     # ------------------------------------------------------------- the step
-    def process_frame(state: BackendState, tracker_in: TrackerInput):
+    def process_frame(state: BackendState, tracker_in: TrackerInput,
+                      camera0=None):
         ekf = state.ekf
         t_frame = ekf.prev_sample_t
 
@@ -749,7 +757,9 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             state = jax.lax.cond(keyframe_eff, lambda st: st, drop_head, state)
 
             # normalize current pixels & insert into head keyframe
-            norm0, ok0 = normalize_pixel(cameras[0], tracker_in.pixels[:, 0, :])
+            norm0, ok0 = normalize_pixel(
+                camera0 if camera0 is not None else cameras[0],
+                tracker_in.pixels[:, 0, :])
             if use_stereo:
                 norm1, ok1 = normalize_pixel(cameras[1], tracker_in.pixels[:, 1, :])
                 norm = jnp.stack([norm0, norm1], axis=1)
@@ -805,7 +815,7 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             vu_fn = visual_update_phase_batched if use_batched else visual_update_phase
             state, pc, need_more, too_many_failures = vu_fn(
                 state, jnp.where(valid, tracker_in.track_ids, -1), norm, valid,
-                vu_rng, True)
+                vu_rng, True, camera0=camera0)
 
             good_frame = (stationary_visual | ~need_more) & ~too_many_failures
 

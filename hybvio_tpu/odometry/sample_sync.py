@@ -35,6 +35,7 @@ class ProcessedFrame:
     first_image: Any = None
     second_image: Any = None
     tag: Any = None
+    intrinsics: Any = None  # per-frame (fx, fy, cx, cy[, coeffs]) or None
 
 
 @dataclass
@@ -113,7 +114,8 @@ class SampleSync:
         self.sF[self.indexF] = Sample(t, tuple(p))
         self.indexF = (self.indexF + 1) % self.size
 
-    def add_frame(self, t: float, first_image=None, second_image=None, tag=None) -> None:
+    def add_frame(self, t: float, first_image=None, second_image=None, tag=None,
+                  intrinsics=None) -> None:
         shift = self.po.imuToCameraShiftSeconds
         if self.po.secondImuToCameraShiftSeconds != 0.0:
             # stereo frames share one timestamp, so per-camera shifts average
@@ -125,7 +127,8 @@ class SampleSync:
             # heavy-handed culling: keep every 2nd (reference: cullBuffer)
             self.frames = self.frames[::2]
 
-        frame = ProcessedFrame(t=t, first_image=first_image, second_image=second_image, tag=tag)
+        frame = ProcessedFrame(t=t, first_image=first_image, second_image=second_image, tag=tag,
+                               intrinsics=intrinsics)
         self.frame_count += 1
         frame.num = self.frame_count
 

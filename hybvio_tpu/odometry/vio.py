@@ -138,8 +138,9 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=None,
             tracker_ready=jnp.ones((), bool),
         )
 
-    def predict_flow(bstate: BackendState, tstate: TrackerState):
+    def predict_flow(bstate: BackendState, tstate: TrackerState, c0=None):
         """Per-slot predicted current pixels (reference: backend.cpp:541-663)."""
+        c0 = cam0 if c0 is None else c0
         m = bstate.ekf.m
         cur = jnp.concatenate([m[POS:POS + 3], m[ORI:ORI + 4]])
         trail_block = m[CAM:CAM + POSE_DIM * L].reshape(L, POSE_DIM)
@@ -169,14 +170,14 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=None,
         # unproject previous corner at pose trail slot 0 (previous frame pose),
         # reproject at the current pose
         prev_px = tstate.px[:, 0, :].astype(dtype)
-        ray0, ok0 = pixel_to_ray(cam0, prev_px)
+        ray0, ok0 = pixel_to_ray(c0, prev_px)
         p_hist = pose_states[1, :3]
         q_hist = pose_states[1, 3:]
         cam_to_world = to_camera_to_world(p_hist, q_hist, i2c)
         world_to_cam = to_world_to_camera(m[POS:POS + 3], m[ORI:ORI + 4], i2c)
         pw = transform_vec3(cam_to_world, ray0 * dist[:, None])
         rc = transform_vec3(world_to_cam, pw)
-        pix1, ok1 = ray_to_pixel(cam0, rc)
+        pix1, ok1 = ray_to_pixel(c0, rc)
         guess = jnp.where((ok0 & ok1)[:, None], pix1, prev_px)
         if not use_stereo:
             return guess.astype(jnp.float32), None
@@ -200,17 +201,24 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=None,
         """
         return state._replace(backend=frame_step.imu_scan(state.backend, imu))
 
-    def track_stage(state: VioState, t, image, second_image=None):
+    def track_stage(state: VioState, t, image, second_image=None,
+                    camera0=None):
         """Front-end stage: rectify + predicted flow + LK/detect/RANSAC;
         assumes IMU already propagated to the frame time. Returns
-        (state, TrackerInput)."""
+        (state, TrackerInput).
+
+        camera0: optional dynamic per-frame Camera (varying intrinsics; mono
+        only — stereo geometry constants are baked at build time)."""
+        if camera0 is not None:
+            assert not use_stereo and not dense_depth, \
+                "varying intrinsics supported for mono only"
         if use_stereo and second_image is None and isinstance(image, (tuple, list)):
             image, second_image = image
         if use_rectification:
             image, second_image = rectify_inputs(image, second_image)
         bstate = state.backend
         if pt.predictOpticalFlow:
-            guess, stereo_guess = predict_flow(bstate, state.tracker)
+            guess, stereo_guess = predict_flow(bstate, state.tracker, camera0)
         else:
             guess, stereo_guess = None, None
 
@@ -239,6 +247,7 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=None,
             second_image=second_image,
             stereo_guess=stereo_guess,
             pose_rot=pose_rot,
+            camera0=camera0,
         )
         if dense_depth:
             depths = track_dense_depth(
@@ -257,18 +266,21 @@ def make_vio(params, derived, cameras, max_tracks=None, dtype=None,
         return VioState(backend=bstate, tracker=tstate,
                         tracker_ready=state.tracker_ready), tin
 
-    def backend_stage(state: VioState, tin: TrackerInput):
+    def backend_stage(state: VioState, tin: TrackerInput, camera0=None):
         """Estimator stage: visual updates + augmentation (frame_step)."""
-        bstate, out = frame_step.process_frame(state.backend, tin)
+        bstate, out = frame_step.process_frame(state.backend, tin,
+                                               camera0=camera0)
         return state._replace(backend=bstate), out
 
-    def vio_step(state: VioState, imu: ImuBatch, image, second_image=None):
+    def vio_step(state: VioState, imu: ImuBatch, image, second_image=None,
+                 camera0=None):
         # IMU propagation first so the flow prediction uses the pose at the
         # frame time (reference: tracker runs after ekf->predict,
         # backend.cpp:735-765)
         state = imu_only(state, imu)
-        state, tin = track_stage(state, imu.t[-1], image, second_image)
-        return backend_stage(state, tin)
+        state, tin = track_stage(state, imu.t[-1], image, second_image,
+                                 camera0)
+        return backend_stage(state, tin, camera0)
 
     # staged entry points: chunked IMU processing (api/vio.py) and the
     # per-stage '-timer' path (reference per-label report, main.cpp:1008-1016)

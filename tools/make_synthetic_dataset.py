@@ -23,10 +23,18 @@ def make_dataset(out_dir: str, duration: float = 6.0, width: int = 320,
                  height: int = 240, fx: float = 260.0, imu_rate: float = 100.0,
                  frame_rate: float = 10.0, seed: int = 0, n_landmarks: int = 300,
                  gyro_noise: float = 5e-4, acc_noise: float = 5e-3,
-                 world: str = "textured"):
+                 world: str = "textured", zoom: float = 0.0):
     """world='textured' (default): ray-cast value-noise scene — realistic
     dense gradients for LK/GFTT (io/textured.py). world='blobs': the round-1
-    Gaussian-blob renderer (kept for comparisons)."""
+    Gaussian-blob renderer (kept for comparisons).
+
+    zoom: fractional focal-length ramp over the run (a synthetic autofocus /
+    zooming lens): frame i renders and records fx * (1 + zoom * i/(n-1)) via
+    per-frame cameraParameters (reference: input_jsonl.cpp:119-199 consumes
+    these per frame). Requires world='blobs' (the textured renderer bakes its
+    camera)."""
+    if zoom:
+        assert world == "blobs", "zoom requires the blobs renderer"
     from hybvio_tpu.io.jsonl import Recorder
     from hybvio_tpu.io.synthetic import (
         SYNTH_IMU_TO_CAMERA, generate_sequence, render_view,
@@ -57,9 +65,10 @@ def make_dataset(out_dir: str, duration: float = 6.0, width: int = 320,
         pf.write("ransac2Threshold 8.0;\nransac5Threshold 4.0;\n"
                  "visualR 0.5;\n")
 
-    cam_params = [{
-        "focalLengthX": fx, "focalLengthY": fx,
-        "principalPointX": width / 2, "principalPointY": height / 2}]
+    n_total = len(seq.frame_sample_idx)
+
+    def fx_at(i):
+        return fx * (1.0 + zoom * i / max(n_total - 1, 1)) if zoom else fx
 
     fi = 0
     frame_set = set(seq.frame_sample_idx.tolist())
@@ -68,12 +77,16 @@ def make_dataset(out_dir: str, duration: float = 6.0, width: int = 320,
         rec.gyro(t, seq.gyro[k])
         rec.acc(t, seq.acc[k])
         if k in frame_set:
+            fxi = fx_at(fi)
+            cam_params = [{
+                "focalLengthX": fxi, "focalLengthY": fxi,
+                "principalPointX": width / 2, "principalPointY": height / 2}]
             if world == "textured":
                 img = render_tex(fi)
             else:
                 img = render_view(
                     seq.landmarks, seq.pos[k], seq.quat[k], SYNTH_IMU_TO_CAMERA,
-                    fx, fx, width / 2, height / 2, width, height, blob_sigma=1.2)
+                    fxi, fxi, width / 2, height / 2, width, height, blob_sigma=1.2)
             rec.frame(t, [img], cam_params)
             rec.ground_truth(t, seq.pos[k], seq.quat[k])
             fi += 1
