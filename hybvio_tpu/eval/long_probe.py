@@ -41,7 +41,7 @@ def long_probe_params(family: str = "stereo", overrides: Optional[dict] = None):
     per-dataset tuning via parameters.txt)."""
     from ..models import synthetic_bench_params
 
-    base = "stereo" if family == "vislam" else family
+    base = "stereo" if family in ("vislam", "stereo_api") else family
     p = synthetic_bench_params(base)
     if family == "vislam":
         p.slam.useSlam = True
@@ -104,7 +104,7 @@ def _build_world(family: str, seq, W: int, H: int, fx: float, coeffs,
                      fisheye_coeffs=coeffs)
     rl = make_textured_renderer(scene, SYNTH_IMU_TO_CAMERA, fx, fx,
                                 W / 2, H / 2, W, H, **render_kw)
-    if family in ("stereo", "vislam"):
+    if family in ("stereo", "vislam", "stereo_api"):
         second = np.asarray(SYNTH_IMU_TO_CAMERA).copy()
         second[0, 3] = -0.11  # EuRoC-like baseline (bench preset)
         rr = make_textured_renderer(scene, second, fx, fx, W / 2, H / 2,
@@ -132,11 +132,16 @@ def run_long_probe(family: str = "stereo", duration: float = 60.0,
     """Run one family of the long textured protocol end to end.
 
     family: "mono" | "stereo" | "fisheye" (jitted VIO loop) | "vislam"
-    (complete VioApi + async SLAM; see run_long_vislam).
+    (complete VioApi + async SLAM) | "stereo_api" (the SAME stereo run as
+    "stereo" but driven through the full VioApi + sample-sync host layer with
+    SLAM off — so the API path has benchmark-scale accuracy evidence, not
+    just the jitted loop; reference hot path is always through the API,
+    api.cpp:528-628).
 
     Returns {"ate_rmse_m", "frames", "duration_s", "finite", "resolution",
-    "wall_s"}; vislam adds SLAM fields. Matmul precision is pinned to
-    'highest' (the production/bench EKF mode)."""
+    "wall_s"}; vislam adds SLAM fields, API families add fps_steady.
+    Matmul precision is pinned to 'highest' (the production/bench EKF
+    mode)."""
     import os
 
     import jax
@@ -151,9 +156,9 @@ def run_long_probe(family: str = "stereo", duration: float = 60.0,
         pass
 
     with jax.default_matmul_precision("highest"):
-        if family == "vislam":
-            return _run_vislam(duration, seed, frame_rate, imu_rate, chunk,
-                               overrides, width, height, fx, scene_kwargs)
+        if family in ("vislam", "stereo_api"):
+            return _run_api(family, duration, seed, frame_rate, imu_rate,
+                            chunk, overrides, width, height, fx, scene_kwargs)
         return _run_jitted(family, duration, seed, frame_rate, imu_rate,
                            chunk, overrides, width, height, fx, scene_kwargs)
 
@@ -238,22 +243,23 @@ def _run_jitted(family, duration, seed, frame_rate, imu_rate, chunk,
             "wall_s": round(wall, 1)}
 
 
-def _run_vislam(duration, seed, frame_rate, imu_rate, chunk, overrides,
-                width, height, fx, scene_kwargs) -> dict:
-    """Full VISLAM long run: complete VioApi stack (sample sync, jitted
-    stereo VIO step, async SLAM worker: keyframes, BoW retrieval, loop
-    closure, BA). Steady-state FPS excludes both compile warmup and the
-    finish() teardown (the end-of-run global pose graph + BA sweeps), which
-    is reported separately — folding teardown into FPS made the number
-    incomparable to the other configs (VERDICT round-2 weak item 8)."""
+def _run_api(family, duration, seed, frame_rate, imu_rate, chunk, overrides,
+             width, height, fx, scene_kwargs) -> dict:
+    """Full-API long run: complete VioApi stack — sample sync (native C++
+    by default), jitted stereo VIO step, and for family="vislam" the async
+    SLAM worker (keyframes, BoW retrieval, loop closure, BA). Steady-state
+    FPS excludes both compile warmup and the finish() teardown (the
+    end-of-run global pose graph + BA sweeps), which is reported separately
+    — folding teardown into FPS made the number incomparable to the other
+    configs (VERDICT round-2 weak item 8)."""
     import jax.numpy as jnp
 
     from ..api.vio import VioApi
     from ..eval.ate import ate_rmse
 
-    p, W, H, FX, coeffs = _geometry("vislam", overrides, width, height, fx)
+    p, W, H, FX, coeffs = _geometry(family, overrides, width, height, fx)
     seq = _make_sequence(duration, seed, frame_rate, imu_rate)
-    renderers, _ = _build_world("vislam", seq, W, H, FX, coeffs, seed,
+    renderers, _ = _build_world(family, seq, W, H, FX, coeffs, seed,
                                 scene_kwargs)
     frames = _FrameCache(seq, renderers, chunk=chunk)
 
@@ -288,12 +294,15 @@ def _run_vislam(duration, seed, frame_rate, imu_rate, chunk, overrides,
     gt = np.stack([np.interp(est_t, seq.times, seq.pos[:, i] - seq.pos[0, i])
                    for i in range(3)], axis=1)
     ate = float(ate_rmse(est, gt)) if finite else float("nan")
-    slam = api.slam.slam if api.slam else None
-    return {"ate_rmse_m": round(ate, 4) if finite else None,
-            "frames": n_fed, "duration_s": round(duration, 1),
-            "finite": finite, "resolution": f"{W}x{H}",
-            "fps_steady": round(fps, 2),
-            "teardown_s": round(teardown_s, 2),
-            "keyframes": len(slam.kf_order) if slam else 0,
-            "loop_events": len(slam.loop_events) if slam else 0,
-            "map_points": len(slam.points) if slam else 0}
+    out = {"ate_rmse_m": round(ate, 4) if finite else None,
+           "frames": n_fed, "duration_s": round(duration, 1),
+           "finite": finite, "resolution": f"{W}x{H}",
+           "fps_steady": round(fps, 2),
+           "teardown_s": round(teardown_s, 2),
+           "native_sync": type(api.sample_sync).__name__ == "NativeSampleSync"}
+    if family == "vislam":
+        slam = api.slam.slam if api.slam else None
+        out.update({"keyframes": len(slam.kf_order) if slam else 0,
+                    "loop_events": len(slam.loop_events) if slam else 0,
+                    "map_points": len(slam.points) if slam else 0})
+    return out
