@@ -87,6 +87,104 @@ def ransac_similarity(src, dst, valid, key, n_hyp: int = 100,
     return R, t, s, inl, jnp.sum(inl)
 
 
+def _dlt_pose(pts3, obs2, w):
+    """Weighted DLT for M = [R|t] (world->camera, normalized pinhole):
+    obs2 ~ project(M [pts3, 1]). pts3 (M,3), obs2 (M,2), w (M,) weights.
+    Returns (R, t)."""
+    dtype = pts3.dtype
+    X = jnp.concatenate([pts3, jnp.ones((pts3.shape[0], 1), dtype)], axis=1)
+    z = jnp.zeros_like(X)
+    # rows: [X 0 -x X] and [0 X -y X], weighted
+    r1 = jnp.concatenate([X, z, -obs2[:, :1] * X], axis=1)
+    r2 = jnp.concatenate([z, X, -obs2[:, 1:2] * X], axis=1)
+    A = jnp.concatenate([r1 * w[:, None], r2 * w[:, None]], axis=0)
+    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
+    m = Vt[-1].reshape(3, 4)
+    # sign: the majority of weighted points must sit in front of the camera
+    zc = X @ m[2]
+    sgn = jnp.where(jnp.sum(jnp.sign(zc) * w) < 0, -1.0, 1.0)
+    m = m * sgn
+    # orthonormalize the rotation block; its singular values carry the
+    # projective scale of the whole solution
+    U, S, Vr = jnp.linalg.svd(m[:, :3])
+    d = jnp.sign(jnp.linalg.det(U @ Vr))
+    D = jnp.diag(jnp.asarray([1.0, 1.0, 0.0], dtype) + jnp.asarray([0.0, 0.0, 1.0], dtype) * d)
+    R = U @ D @ Vr
+    scale = jnp.sum(S * jnp.diagonal(D)) / 3.0
+    t = m[:, 3] / jnp.maximum(scale, 1e-12)
+    return R, t
+
+
+def _pnp_errors(pts3, obs2, R, t):
+    pc = pts3 @ R.T + t
+    zc = pc[:, 2]
+    proj = pc[:, :2] / jnp.maximum(jnp.abs(zc[:, None]), 1e-9)
+    err = jnp.linalg.norm(proj - obs2, axis=-1)
+    return jnp.where(zc > 1e-6, err, jnp.inf)
+
+
+@partial(jax.jit, static_argnames=("n_hyp",))
+def ransac_pnp(pts3, obs2, valid, key, n_hyp: int = 100,
+               threshold: float = 0.02):
+    """RANSAC perspective-n-point: world->camera pose from 3D map points and
+    their 2D NORMALIZED observations (the 2D-3D loop-closure fallback —
+    the fresh side of a revisit has observations before it has structure).
+
+    Hypotheses are one vmapped batch (same design as ransac_similarity):
+    each draws 6 correspondences, solves the 11-DOF DLT, scores by
+    normalized reprojection error with cheirality. The best model is refit
+    by a weighted DLT on its inliers. Returns (R (3,3), t (3,),
+    inlier_mask (M,), n_inliers ())."""
+    dtype = pts3.dtype
+    nv = jnp.maximum(jnp.sum(valid), 1)
+
+    def hypothesis(k):
+        idx = jax.random.randint(k, (6,), 0, nv)
+        order = jnp.argsort(~valid)
+        sel = order[idx]
+        distinct = jnp.sum(sel[:, None] == sel[None, :]) == 6
+        R, t = _dlt_pose(pts3[sel], obs2[sel], jnp.ones(6, dtype))
+        err = _pnp_errors(pts3, obs2, R, t)
+        inl = (err < threshold) & valid
+        return jnp.where(distinct, jnp.sum(inl), -1), (R, t)
+
+    keys = jax.random.split(key, n_hyp)
+    scores, models = jax.vmap(hypothesis)(keys)
+    best = jnp.argmax(scores)
+    R, t = jax.tree_util.tree_map(lambda m: m[best], models)
+
+    inl = (_pnp_errors(pts3, obs2, R, t) < threshold) & valid
+    R2, t2 = _dlt_pose(pts3, obs2, inl.astype(dtype))
+    inl2 = (_pnp_errors(pts3, obs2, R2, t2) < threshold) & valid
+    better = jnp.sum(inl2) >= jnp.sum(inl)
+    R = jnp.where(better, R2, R)
+    t = jnp.where(better, t2, t)
+    inl = jnp.where(better, inl2, inl)
+    return R, t, inl, jnp.sum(inl)
+
+
+def ransac_pnp_np(pts3, obs2, seed: int = 0, n_hyp: int = 100,
+                  threshold: float = 0.02, pad: int = 256):
+    """Host wrapper for ransac_pnp (pads to static shapes for jit reuse)."""
+    pts3 = np.asarray(pts3, np.float64)
+    obs2 = np.asarray(obs2, np.float64)
+    M = pts3.shape[0]
+    P = pad
+    while P < M:
+        P *= 2
+    pp = np.zeros((P, 3)); pp[:M] = pts3
+    op = np.zeros((P, 2)); op[:M] = obs2
+    vp = np.zeros(P, bool); vp[:M] = True
+    from .host import cpu_device
+
+    with jax.default_device(cpu_device()):
+        key = jax.random.PRNGKey(seed)
+        R, t, inl, n = ransac_pnp(jnp.asarray(pp), jnp.asarray(op),
+                                  jnp.asarray(vp), key, n_hyp=n_hyp,
+                                  threshold=threshold)
+    return np.asarray(R), np.asarray(t), np.asarray(inl)[:M], int(n)
+
+
 def ransac_similarity_np(src, dst, seed: int = 0, n_hyp: int = 100,
                          threshold: float = 0.1, with_scale: bool = False,
                          pad: int = 256):

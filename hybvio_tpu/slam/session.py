@@ -880,9 +880,18 @@ class Slam:
         return applied_ev
 
     def _verify_and_apply(self, kf: KeyFrame, cand: KeyFrame, matches) -> bool:
-        """Geometric verification (3D-3D similarity RANSAC over matched map
-        points) + drift gates + correction."""
+        """Geometric verification + drift gates + correction.
+
+        Primary check: 3D-3D similarity RANSAC over matched map points
+        triangulated on BOTH sides. Fallback when the fresh side lacks
+        structure (a revisit's first keyframes have observations before they
+        have triangulated points): 2D-3D PnP RANSAC of the CANDIDATE side's
+        map points against the new keyframe's normalized observations — the
+        reference family's relocalization-style check (ORB-SLAM lineage:
+        PnP against the map when 3D-3D pairs are unavailable)."""
         ps = self.ps
+        if not ps.applyLoopClosures:
+            return False
         pa, pb, pair_pts = [], [], []
         for i, j in matches:
             mpa = self.point_for_track(int(kf.track_ids[i]))
@@ -896,25 +905,68 @@ class Slam:
                 pa.append(mpa.position)
                 pb.append(mpb.position)
                 pair_pts.append((mpa.point_id, mpb.point_id))
-        if len(pa) < max(ps.loopClosureRansacMinInliers, 3) or not ps.applyLoopClosures:
-            return False
 
-        from .loopclosure import ransac_similarity_np
+        Tk = pose_to_mat(kf.pose)
+        if len(pa) >= max(ps.loopClosureRansacMinInliers, 3):
+            from .loopclosure import ransac_similarity_np
 
-        pa = np.asarray(pa)
-        pb = np.asarray(pb)
-        # RANSAC threshold: loopClosureInlierThreshold is relative (reference
-        # default 0.02, same scale family as relativeReprojectionErrorThreshold);
-        # anchor it to the scene scale = median point distance from the query
-        scene = float(np.median(np.linalg.norm(pa - kf.pose[:3], axis=1)))
-        thr = max(ps.loopClosureInlierThreshold * max(scene, 1.0), 1e-3)
-        self._loop_seed += 1
-        R, tvec, s, inl, n_inl = ransac_similarity_np(
-            pa, pb, seed=self._loop_seed,
-            n_hyp=ps.loopClosureRansacIterations, threshold=thr,
-            with_scale=not ps.loopClosureRansacFixScale)
-        if n_inl < ps.loopClosureRansacMinInliers:
-            return False
+            pa = np.asarray(pa)
+            pb = np.asarray(pb)
+            # RANSAC threshold: loopClosureInlierThreshold is relative (reference
+            # default 0.02, same scale family as relativeReprojectionErrorThreshold);
+            # anchor it to the scene scale = median point distance from the query
+            scene = float(np.median(np.linalg.norm(pa - kf.pose[:3], axis=1)))
+            thr = max(ps.loopClosureInlierThreshold * max(scene, 1.0), 1e-3)
+            self._loop_seed += 1
+            R, tvec, s, inl, n_inl = ransac_similarity_np(
+                pa, pb, seed=self._loop_seed,
+                n_hyp=ps.loopClosureRansacIterations, threshold=thr,
+                with_scale=not ps.loopClosureRansacFixScale)
+            if n_inl < ps.loopClosureRansacMinInliers:
+                return False
+            # corrected pose: positions use the full similarity s*R; the
+            # ROTATION part must stay orthonormal (rmat_to_quat assumes it),
+            # so compose with R and apply s only to the translation action
+            T_sim = np.eye(4)
+            T_sim[:3, :3] = R
+            T_sim[:3, 3] = tvec
+            corrected = T_sim @ Tk
+            corrected[:3, 3] = s * (R @ Tk[:3, 3]) + tvec
+        else:
+            # 2D-3D fallback: candidate-side triangulated map points vs the
+            # new keyframe's 2D normalized observations
+            p3d, n2d = [], []
+            for i, j in matches:
+                mpb = self.point_for_track(int(cand.track_ids[j]))
+                if (mpb is not None and mpb.triangulated
+                        and int(kf.track_ids[i]) >= 0):
+                    p3d.append(mpb.position)
+                    n2d.append(np.asarray(kf.norm_pts[i], np.float64))
+            if len(p3d) < max(ps.loopClosureRansacMinInliers, 6):
+                return False
+
+            from .loopclosure import ransac_pnp_np
+
+            self._loop_seed += 1
+            thr2d = float(getattr(ps, "relativeReprojectionErrorThreshold",
+                                  0.02))
+            R_wc, t_wc, inl, n_inl = ransac_pnp_np(
+                p3d, n2d, seed=self._loop_seed,
+                n_hyp=ps.loopClosureRansacIterations, threshold=thr2d)
+            if n_inl < max(ps.loopClosureRansacMinInliers, 6):
+                return False
+            corrected = np.eye(4)
+            corrected[:3, :3] = R_wc.T  # camera-to-world
+            corrected[:3, 3] = -R_wc.T @ t_wc
+            # express as a similarity on the drifted pose for the shared
+            # drift gates / edge math below (VIO maps are metric: s = 1)
+            T_sim = corrected @ np.linalg.inv(Tk)
+            R = T_sim[:3, :3]
+            tvec = T_sim[:3, 3]
+            s = 1.0
+            scene = float(np.median(np.linalg.norm(
+                np.asarray(p3d) - kf.pose[:3], axis=1)))
+            pair_pts, inl = [], []  # nothing to fuse: one side has no points
 
         # drift gates (reference: maximumDriftMetersPerSecond / PerTraveled,
         # maximumDriftRadiansPerSecond / PerTraveled): the implied correction
@@ -933,16 +985,8 @@ class Slam:
         if ang > ps.maximumDriftRadiansPerTraveled * max(traveled, 1e-6):
             return False
 
-        # loop edge: measured relative pose cand -> kf AFTER correction.
-        # Positions use the full similarity s*R; the ROTATION part of the
-        # corrected pose must stay orthonormal (rmat_to_quat assumes it), so
-        # compose poses with R and apply s only to the translation action.
-        T = np.eye(4)
-        T[:3, :3] = R
-        T[:3, 3] = tvec
-        Tk = pose_to_mat(kf.pose)
-        corrected = T @ Tk
-        corrected[:3, 3] = s * (R @ Tk[:3, 3]) + tvec
+        # loop edge: measured relative pose cand -> kf AFTER correction
+        # (each branch above built `corrected` in its own geometry)
         corrected_kf_pose = mat_to_pose(corrected)
         rel = np_relative_pose(cand.pose, corrected_kf_pose)
         # one edge per keyframe pair: a repeated closure of the same loop
