@@ -420,13 +420,26 @@ class Slam:
         image = np.asarray(image, np.float32)
         H, W = image.shape
         if self._kp_detector is None or self._kp_shape != (H, W):
-            from .keypoints import make_multiscale_orb
+            # native C++ detector first (milliseconds, no compile stall);
+            # the JAX host-backend build is the fallback (same contract,
+            # verified equivalent in tests/test_native_orb.py) — the XLA CPU
+            # compile alone costs ~75 s, which stalls the async SLAM worker
+            # into dropping keyframes at real-time rates
+            kwargs = dict(n_levels=int(ps.orbScaleLevels),
+                          scale_factor=float(ps.orbScaleFactor),
+                          thr_init=float(ps.orbInitialFastThreshold) / 255.0,
+                          thr_min=float(ps.orbMinFastThreshold) / 255.0)
+            try:
+                from .native_orb import make_native_orb, native_orb_available
 
-            self._kp_detector, self._kp_cap = make_multiscale_orb(
-                H, W, n_levels=int(ps.orbScaleLevels),
-                scale_factor=float(ps.orbScaleFactor),
-                thr_init=float(ps.orbInitialFastThreshold) / 255.0,
-                thr_min=float(ps.orbMinFastThreshold) / 255.0)
+                if not native_orb_available():
+                    raise RuntimeError("native orb unavailable")
+                self._kp_detector, self._kp_cap = make_native_orb(H, W, **kwargs)
+            except Exception:
+                from .keypoints import make_multiscale_orb
+
+                self._kp_detector, self._kp_cap = make_multiscale_orb(
+                    H, W, **kwargs)
             self._kp_shape = (H, W)
         pts, lvl, desc, ok = self._kp_detector(image)
         kf.kp_pts, kf.kp_levels = pts, lvl
