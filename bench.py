@@ -590,6 +590,19 @@ def run_textured_long():
     out = {}
     for fam in ("stereo", "mono", "fisheye"):
         out[fam] = run_long_probe(fam, duration=dur)
+    # mono single-seed ATE is decision-cascade chaotic (measured spread
+    # 0.06-0.17 across seeds in both covariance forms); carry a multi-seed
+    # median so the mono accuracy number is a statistic, not one draw
+    seeds = [int(s) for s in
+             os.environ.get("BENCH_MONO_SEEDS", "9,10").split(",") if s]
+    if seeds:
+        ates = [out["mono"]["ate_rmse_m"]] + [
+            run_long_probe("mono", duration=dur, seed=s)["ate_rmse_m"]
+            for s in seeds]
+        vals = [a for a in ates if a is not None]
+        out["mono_multiseed"] = {
+            "seeds": [8] + seeds, "ates": ates,
+            "median": round(float(np.median(vals)), 4) if vals else None}
     # the SAME stereo run through the full VioApi + native sample sync: the
     # host/API layer gets benchmark-scale accuracy evidence next to the
     # jitted-loop number (VERDICT r3 item 5)

@@ -128,7 +128,8 @@ def run_long_probe(family: str = "stereo", duration: float = 60.0,
                    overrides: Optional[dict] = None,
                    width: Optional[int] = None, height: Optional[int] = None,
                    fx: Optional[float] = None,
-                   scene_kwargs: Optional[dict] = None) -> dict:
+                   scene_kwargs: Optional[dict] = None,
+                   dtype=None) -> dict:
     """Run one family of the long textured protocol end to end.
 
     family: "mono" | "stereo" | "fisheye" (jitted VIO loop) | "vislam"
@@ -160,7 +161,8 @@ def run_long_probe(family: str = "stereo", duration: float = 60.0,
             return _run_api(family, duration, seed, frame_rate, imu_rate,
                             chunk, overrides, width, height, fx, scene_kwargs)
         return _run_jitted(family, duration, seed, frame_rate, imu_rate,
-                           chunk, overrides, width, height, fx, scene_kwargs)
+                           chunk, overrides, width, height, fx, scene_kwargs,
+                           dtype=dtype)
 
 
 def _geometry(family, overrides, width, height, fx):
@@ -178,7 +180,10 @@ def _geometry(family, overrides, width, height, fx):
 
 
 def _run_jitted(family, duration, seed, frame_rate, imu_rate, chunk,
-                overrides, width, height, fx, scene_kwargs) -> dict:
+                overrides, width, height, fx, scene_kwargs,
+                dtype=None) -> dict:
+    """dtype: filter/front-end dtype; f32 (the production TPU mode) unless
+    overridden (f64 anchor runs need jax x64 enabled and a CPU backend)."""
     import jax
     import jax.numpy as jnp
 
@@ -189,7 +194,7 @@ def _run_jitted(family, duration, seed, frame_rate, imu_rate, chunk,
     from ..odometry.vio import make_vio
 
     p, W, H, FX, coeffs = _geometry(family, overrides, width, height, fx)
-    dtype = jnp.float32
+    dtype = dtype or jnp.float32
     derived = DerivedParameters.from_parameters(p)
     cams = [build_camera_from_params(p.tracker, W, H, dtype=dtype)]
     if p.tracker.useStereo:
