@@ -579,14 +579,13 @@ def run_seed_diverse(p, derived, cams, F, B, dtype, config, render,
 def run_textured_long():
     """The long textured protocol for the default bench output
     (VERDICT round-2 item 1). Durations env-tunable:
-    BENCH_LONG_DURATION (default 60 s), BENCH_VISLAM_DURATION (default 30 s
-    — the full-API path pays host-side per-frame overhead on top of the
-    jitted step, so the vislam leg is capped to keep the driver bench
-    bounded; raise it for a full-length run)."""
+    BENCH_LONG_DURATION (default 60 s), BENCH_VISLAM_DURATION (default also
+    60 s — with pipelined output retirement the full VioApi+SLAM path
+    sustains >10 FPS, so the full-length leg fits the driver budget)."""
     from hybvio_tpu.eval.long_probe import run_long_probe
 
     dur = float(os.environ.get("BENCH_LONG_DURATION", "60"))
-    vdur = float(os.environ.get("BENCH_VISLAM_DURATION", "30"))
+    vdur = float(os.environ.get("BENCH_VISLAM_DURATION", str(dur)))
     out = {}
     for fam in ("stereo", "mono", "fisheye"):
         out[fam] = run_long_probe(fam, duration=dur)

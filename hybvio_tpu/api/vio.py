@@ -166,6 +166,21 @@ class VioApi:
         self._stage_probes = None  # built on first -timer frame
         self._threshold_warned = 0.01
         self._frame_count = 0
+        # pipelined output retirement: dispatch frame N's jitted step before
+        # fetching frame N-1's output, so device compute overlaps the D2H
+        # round trip (the analog of the reference's input-thread /
+        # odometry-thread pipeline, api.cpp:1019; over a high-latency TPU
+        # tunnel a synchronous per-frame device_get serializes step latency
+        # and RTT). Depth 0 = fully synchronous (forced for -timer and
+        # debug-publisher sessions). Host-side consumers (status machine,
+        # SLAM submit, on_output) see each output exactly once, one frame
+        # late; finish()/wait_idle() flush the tail.
+        import collections
+
+        self._inflight = collections.deque()
+        env_depth = os.environ.get("HYBVIO_PIPELINE_DEPTH")
+        self._pipeline_depth = (int(env_depth) if env_depth is not None
+                                else (1 if (jit and not recording_only) else 0))
 
         # latency-smoothing output buffer (reference: api::OutputBuffer,
         # output_buffer.hpp; active when targetOutputDelaySeconds > 0)
@@ -358,6 +373,7 @@ class VioApi:
             self._queue.put(None)
             self._worker.join(timeout=30)
             self._queue = None
+        self._flush_pipeline()
         if self.output_buffer is not None and self.on_output:
             # drain outputs still held for their scheduled emit time
             while self.output_buffer.buf:
@@ -429,9 +445,12 @@ class VioApi:
         self._worker.start()
 
     def wait_idle(self) -> None:
-        """Block until the odometry worker has drained its queue."""
+        """Block until the odometry worker has drained its queue and every
+        in-flight pipelined output has been retired (synchronization point
+        for callers that need the latest output delivered)."""
         if self._queue is not None:
             self._queue.join()
+        self._flush_pipeline()
 
     def _ensure_state(self, image, t, second_image=None):
         if self._state is None:
@@ -540,18 +559,50 @@ class VioApi:
         # One batched D2H for the whole per-frame output: downstream host
         # logic (status machine, SLAM submit, output conversion, viz taps)
         # reads a dozen separate fields; fetching them one np.asarray at a
-        # time costs a full device round trip EACH, which dominates the
-        # full-API frame latency when the device sits behind a high-latency
-        # tunnel. device_get starts all copies async, then gathers: one
-        # round-trip latency total.
+        # time costs a full device round trip EACH. With pipeline depth > 0
+        # the fetch itself is deferred one frame: copies start async NOW and
+        # the retire happens after the NEXT frame's step is dispatched, so
+        # device compute and D2H overlap instead of serializing.
         import jax as _jax
 
-        out = _jax.device_get(out)
+        aux = (image, second)
+        depth = (0 if (self.time_stats.enabled or self.debug_api is not None)
+                 else self._pipeline_depth)
+        if depth <= 0:
+            self._retire(_jax.device_get(out), aux)
+        else:
+            for leaf in _jax.tree_util.tree_leaves(out):
+                if hasattr(leaf, "copy_to_host_async"):
+                    leaf.copy_to_host_async()
+            self._inflight.append((out, aux))
+            while len(self._inflight) > depth:
+                o, a = self._inflight.popleft()
+                self._retire(_jax.device_get(o), a)
 
-        # time-shift feedback into sample sync (reference: control.cpp:97-106)
+    def _flush_pipeline(self) -> None:
+        """Retire every in-flight output (end of stream / sync points)."""
+        import jax as _jax
+
+        while self._inflight:
+            o, a = self._inflight.popleft()
+            self._retire(_jax.device_get(o), a)
+
+    def _retire(self, out, aux) -> None:
+        """Host-side consumption of one fetched FrameOutput: time-shift
+        feedback, stats, SLAM submit, status machine/auto-reset, debug
+        publishing, output conversion + delivery."""
+        image, second = aux
+
+        # time-shift feedback into sample sync (reference: control.cpp:97-106;
+        # the estimate rides the output, no extra state fetch). Clamped: a
+        # shift larger than the sync pairing horizon would silently unpair
+        # every future frame, which is strictly worse than ignoring the
+        # estimate (SFT is a sub-frame-interval quantity by construction).
         if self.params.odometry.estimateImuCameraTimeShift:
-            shift = float(self._state.backend.ekf.m[19])
-            self.sample_sync.set_imu_to_camera_time_shift(shift)
+            sft = float(out.sft)
+            if np.isfinite(sft):
+                self.sample_sync.set_imu_to_camera_time_shift(
+                    float(np.clip(sft, -0.2, 0.2)))
 
         self._frame_count += 1
         # raw per-frame output for visualization taps (reference: TaggedFrame

@@ -129,6 +129,10 @@ class FrameOutput(NamedTuple):
     # TrackVisualization.triangulateStatus/prepareVuStatus)
     vu_tri_status: jnp.ndarray  # (NV,) int32 TRI_* code
     vu_prepare_status: jnp.ndarray  # (NV,) int32 prepare status
+    # estimated IMU-to-camera time shift (state SFT component), carried in
+    # the output so the host sample-sync feedback (reference:
+    # control.cpp:97-106) never needs a separate blocking state fetch
+    sft: jnp.ndarray  # ()
 
 
 def _highest_precision(fn):
@@ -908,6 +912,7 @@ def make_backend(params, derived, cameras, max_tracks: Optional[int] = None,
             track_pixels=viz_px,
             vu_tri_status=pc[3],
             vu_prepare_status=pc[4],
+            sft=ekf.m[SFT],
         )
         return state, out
 

@@ -186,6 +186,9 @@ class Slam:
         self._kp_detector = None
         self._kp_shape = None
         self._kp_cap = 0
+        # kf_order index up to which a global structure sweep has already
+        # run (see _global_structure_ba / end teardown amortization)
+        self._clean_upto = 0
         # keypoint -> tracker-feature aliasing radius in level-0 pixels at
         # pyramid level 0, scaled by orbScaleFactor^level (detection position
         # granularity grows with level)
@@ -311,11 +314,18 @@ class Slam:
         -slamMapPosesPath / slamDebug->mapSavePath, main.cpp:518): one JSON
         line per keyframe {time, position, orientation} plus map points."""
         if len(self.kf_order) >= 3:
-            self._pose_graph_all(extra_edges=self.loop_edges,
-                                 iterations=max(self.ps.globalBAIterations, 5))
+            clean_upto = self._clean_upto
+            moved = self._pose_graph_all(
+                extra_edges=self.loop_edges,
+                iterations=max(self.ps.globalBAIterations, 5))
             # structure refinement sweeps: windows of NK keyframes with 50%
-            # overlap so every keyframe is adjusted at least once
-            self._global_structure_ba()
+            # overlap. When the final pose graph barely moved anything (the
+            # in-run significance-gated solves already made the map globally
+            # consistent), only the keyframes added since the last global
+            # sweep need polishing — re-sweeping the whole map from scratch
+            # made teardown scale with session length for no accuracy gain.
+            self._global_structure_ba(
+                dirty_from=clean_upto if moved < 1e-3 else 0)
         # persist the trained vocabulary for reuse across sessions
         # (reference: vocabularyPath points at a prebuilt DBoW2 vocabulary;
         # ours trains online and can save the codebook back)
@@ -1088,6 +1098,7 @@ class Slam:
         T[:3, :3] = R
         T[:3, 3] = t
         start = self.kf_order.index(since_kf) if since_kf in self.kf_order else 0
+        self._clean_upto = min(self._clean_upto, start)
         moved_kfs = set(self.kf_order[start + 1:])
         for kf_id in moved_kfs:
             kf = self.keyframes[kf_id]
@@ -1100,15 +1111,17 @@ class Slam:
                 mp.position = s * (R @ mp.position) + t
 
     def _pose_graph_all(self, extra_edges: List[LoopEdge],
-                        iterations: int = 10) -> None:
+                        iterations: int = 10) -> float:
         """Pose-graph GN over ALL keyframes: consecutive odometry relative
         edges + loop edges; map points corrected through their anchor
-        keyframe (OpenVSLAM-style global consistency)."""
+        keyframe (OpenVSLAM-style global consistency). Returns the largest
+        keyframe position correction in meters (0 when nothing ran) so
+        callers can tell whether the solve actually moved the map."""
         from .posegraph import PoseGraphProblem, next_pow2, optimize_pose_graph
 
         n = len(self.kf_order)
         if n < 3:
-            return
+            return 0.0
         N = next_pow2(n)
         kfs = [self.keyframes[i] for i in self.kf_order]
         id_to_idx = {kf.kf_id: i for i, kf in enumerate(kfs)}
@@ -1149,7 +1162,10 @@ class Slam:
                                     static_argnums=(1,))
         new_poses = np.asarray(self._pg_jit(prob, iterations))
         if not np.isfinite(new_poses[:n]).all():
-            return
+            return 0.0
+        moved = float(np.max(np.linalg.norm(
+            new_poses[:n, :3] - poses[:n, :3], axis=1)))
+        self._clean_upto = 0  # poses moved; structure is stale everywhere
         for i, kf in enumerate(kfs):
             kf.pose = new_poses[i]
 
@@ -1167,18 +1183,30 @@ class Slam:
             T_new = pose_to_mat(self.keyframes[anchor].pose)
             D = T_new @ np.linalg.inv(T_old)
             mp.position = D[:3, :3] @ mp.position + D[:3, 3]
+        return moved
 
-    def _global_structure_ba(self) -> None:
+    def _global_structure_ba(self, dirty_from: int = 0) -> None:
         """Structure BA sweeps covering all keyframes (used when
-        slam.globalBAAfterLoop)."""
+        slam.globalBAAfterLoop).
+
+        dirty_from: first kf_order index NOT covered by a previous global
+        sweep. When > 0 the sweep starts one window-step earlier (grid-
+        aligned) so the new keyframes are polished together with enough
+        already-consistent context — end() uses this to avoid re-sweeping a
+        map that the significance-gated in-run solves already covered."""
         NK = self.NK
         n = len(self.kf_order)
         step = max(NK // 2, 1)
-        for start in range(0, max(n - NK, 0) + 1, step):
+        start0 = 0
+        if dirty_from > 0:
+            start0 = min(max(dirty_from - step, 0), max(n - NK, 0))
+            start0 = (start0 // step) * step
+        for start in range(start0, max(n - NK, 0) + 1, step):
             self._local_ba(window=self.kf_order[start:start + NK],
                            prior_from_current=True)
             if start + NK >= n:
                 break
+        self._clean_upto = n
 
     # --------------------------------------------------------------- output
 
@@ -1247,4 +1275,9 @@ class Slam:
                 mp.observations.pop(kid, None)
             self.vocabulary.remove_keyframe(kid)
             del self.keyframes[kid]
+            idx = self.kf_order.index(kid)
             self.kf_order.remove(kid)
+            # keep the global-sweep watermark conservative under culling:
+            # indices after the removed keyframe shift down by one
+            if idx < self._clean_upto:
+                self._clean_upto -= 1

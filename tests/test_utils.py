@@ -73,6 +73,11 @@ def test_output_buffer_in_api():
 
     p = Parameters()
     p.odometry.targetOutputDelaySeconds = 60.0  # hold everything until finish
+    # the frames below are pure noise, so the SFT estimate is junk; a junk
+    # shift fed back into sample sync can push the last frame's effective
+    # timestamp past the end of the sample stream (this test is about the
+    # output buffer, not time-shift estimation)
+    p.odometry.estimateImuCameraTimeShift = False
     p.tracker.maxTracks = 8
     p.odometry.cameraTrailLength = 4
     p.tracker.focalLength = 80.0
@@ -92,6 +97,9 @@ def test_output_buffer_in_api():
         if k % 10 == 5:
             api.add_frame_mono(t, rng.rand(64, 96).astype(np.float32))
     assert len(outs) == 0  # everything held by the 60 s delay
+    # sync point: retire pipelined in-flight outputs so the assertion sees
+    # what the OUTPUT BUFFER holds (the subject here), not pipeline depth
+    api.wait_idle()
     assert api.output_buffer is not None and len(api.output_buffer.buf) >= 2
     api.finish()
     assert len(outs) >= 2  # drained

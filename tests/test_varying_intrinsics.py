@@ -150,7 +150,11 @@ def test_cli_consumes_per_frame_jsonl_intrinsics(tmp_path):
     make_dataset(data_dir, duration=5.0, world="blobs", zoom=0.25,
                  n_landmarks=300)
     out_path = str(tmp_path / "out.jsonl")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    # HYBVIO_PLATFORM (not JAX_PLATFORMS): the ambient sitecustomize
+    # re-forces the remote-TPU platform via jax.config, which env vars do
+    # not survive — with JAX_PLATFORMS alone the subprocess can hang on a
+    # busy TPU tunnel (see tests/test_euroc_cli.py)
+    env = dict(os.environ, JAX_PLATFORMS="cpu", HYBVIO_PLATFORM="cpu")
     r = subprocess.run(
         [sys.executable, "-m", "hybvio_tpu.cli.main",
          f"-i={data_dir}", f"-o={out_path}"],
