@@ -155,6 +155,10 @@ class VioApi:
 
         self._gray_pool = Allocator(
             lambda: np.empty((height, width), np.float32), max_size=64)
+        # 8-bit frames ride a separate pool and stay uint8 until the device
+        # (4x smaller H2D; the jitted step normalizes on device)
+        self._u8_pool = Allocator(
+            lambda: np.empty((height, width), np.uint8), max_size=64)
         self._first_image = None
         self._status = 0
         self._last_reset_time = 0.0
@@ -235,11 +239,12 @@ class VioApi:
         if isinstance(image, jax.Array) and image.ndim == 2:
             import jax.numpy as jnp
 
-            if image.dtype == jnp.float32:
+            if image.dtype == jnp.float32 or jnp.issubdtype(image.dtype,
+                                                            jnp.integer):
+                # integer frames stay raw: the jitted step normalizes on
+                # device (odometry/vio.py normalize_input), so no extra
+                # device op is dispatched here
                 return image
-            if jnp.issubdtype(image.dtype, jnp.integer):
-                # mirror the host-path semantics: integer frames are 0-255
-                return image.astype(jnp.float32) / 255.0
             return image.astype(jnp.float32)
         a = np.asarray(image)
         if a.ndim == 3 and a.shape[-1] in (3, 4):
@@ -247,6 +252,18 @@ class VioApi:
             from ..frontend.image_utils import rgb_to_gray
 
             a = rgb_to_gray(a[..., :3])
+        if a.dtype == np.uint8:
+            # 8-bit frames stay uint8 end-to-end until the device: the
+            # host->device transfer ships 1/4 the bytes of a pre-normalized
+            # float32 frame (the reference likewise ingests 8-bit frames,
+            # image.cpp:345-367) and the jitted step normalizes on device.
+            # Copy into a pooled buffer so the caller may reuse its frame
+            # buffer immediately (upload happens later, at step dispatch).
+            if a.shape == (self.height, self.width):
+                buf = self._u8_pool.next()
+                np.copyto(buf, a)
+                return buf
+            return a.copy()
         if a.dtype != np.float32:
             # convert INTO a pooled host buffer (reference: the image factory
             # allocates frames from util::Allocator pools, image.cpp /
@@ -255,12 +272,9 @@ class VioApi:
             # the frame step dropped their references
             if a.shape == (self.height, self.width):
                 buf = self._gray_pool.next()
-                if a.dtype == np.uint8:
-                    np.divide(a, 255.0, out=buf, casting="unsafe")
-                else:
-                    np.copyto(buf, a, casting="unsafe")
+                np.copyto(buf, a, casting="unsafe")
                 return buf
-            return a.astype(np.float32) / 255.0 if a.dtype == np.uint8 else a.astype(np.float32)
+            return a.astype(np.float32)
         return a
 
     def add_frame_mono(self, t: float, image) -> None:
@@ -452,12 +466,42 @@ class VioApi:
             self._queue.join()
         self._flush_pipeline()
 
+    def _as_input(self, image):
+        """Frame -> device input for the jitted step, preserving integer
+        dtypes (uint8 ships 1/4 the H2D bytes; the step normalizes on
+        device, odometry/vio.py normalize_input)."""
+        jnp = self._jnp
+        a = jnp.asarray(image)
+        if jnp.issubdtype(a.dtype, jnp.integer) or a.dtype == jnp.float32:
+            return a
+        return a.astype(jnp.float32)
+
+    @staticmethod
+    def _norm_gray(image):
+        """Frame (host or device, float or integer) -> float32 in [0,1] for
+        host-side consumers (viz overlays, stage probes, SLAM descriptors).
+        Integer dtypes are raw 0-255."""
+        if image is None:
+            return None
+        import jax
+
+        if isinstance(image, jax.Array):
+            import jax.numpy as jnp
+
+            if jnp.issubdtype(image.dtype, jnp.integer):
+                return image.astype(jnp.float32) / 255.0
+            return image if image.dtype == jnp.float32 else image.astype(jnp.float32)
+        a = np.asarray(image)
+        if a.dtype.kind in "ui":
+            return a.astype(np.float32) / 255.0
+        return a if a.dtype == np.float32 else a.astype(np.float32)
+
     def _ensure_state(self, image, t, second_image=None):
         if self._state is None:
-            jnp = self._jnp
-            second = jnp.asarray(second_image, jnp.float32) if second_image is not None else None
+            second = (self._as_input(second_image)
+                      if second_image is not None else None)
             self._state = self._init_fn(
-                jnp.asarray(image, jnp.float32), t0=float(t), second_image=second)
+                self._as_input(image), t0=float(t), second_image=second)
 
     def _process_frame(self, synced: SyncedSample) -> None:
         import jax.numpy as jnp
@@ -515,9 +559,11 @@ class VioApi:
             with self.time_stats.scope("KF predict (IMU scan)"):
                 self._state = self._imu_only(self._state, batch)
                 jax.block_until_ready(self._state.backend.ekf.m)
-            imgs = (jnp.asarray(image, jnp.float32),)
+            # staged path + probes expect normalized frames (they call the
+            # sub-programs directly, below the step's on-device normalizer)
+            imgs = (self._norm_gray(image),)
             if self.params.tracker.useStereo:
-                imgs = imgs + (jnp.asarray(second, jnp.float32),)
+                imgs = imgs + (self._norm_gray(second),)
             with self.time_stats.scope("tracker (flow+LK+detect+RANSAC)"):
                 self._state, tin = self._track_stage(
                     self._state, jnp.asarray(batch.t[-1], self._dtype), *imgs,
@@ -546,15 +592,15 @@ class VioApi:
                 self.time_stats.add_sample(label, sec)
         elif self.params.tracker.useStereo:
             self._state, out = self._vio_step(
-                self._state, batch, jnp.asarray(image, jnp.float32),
-                jnp.asarray(second, jnp.float32))
+                self._state, batch, self._as_input(image),
+                self._as_input(second))
         elif cam0_dyn is not None:
             self._state, out = self._vio_step(
-                self._state, batch, jnp.asarray(image, jnp.float32),
+                self._state, batch, self._as_input(image),
                 None, cam0_dyn)
         else:
             self._state, out = self._vio_step(
-                self._state, batch, jnp.asarray(image, jnp.float32))
+                self._state, batch, self._as_input(image))
 
         # One batched D2H for the whole per-frame output: downstream host
         # logic (status machine, SLAM submit, output conversion, viz taps)
@@ -714,7 +760,7 @@ class VioApi:
         sub-programs on the LAST frame's data. Returns the {label: ms} dict."""
         if self._stage_probes is not None:
             return {}  # per-frame samples already accumulated in time_stats
-        gray, second = self._last_images
+        gray, second = (self._norm_gray(i) for i in self._last_images)
         if gray is None:
             return {}
         from ..utils.stage_attribution import attribute_stages
@@ -801,7 +847,7 @@ class VioApi:
             sel = str(self.params.tracker.saveStereoEpipolar or "TRACKED").upper()
             epipolar_select = sel if sel != "NONE" else "TRACKED"
         fo = self.last_frame_output
-        gray, second = self._last_images
+        gray, second = (self._norm_gray(i) for i in self._last_images)
         if mode == VisualizationMode.NONE or gray is None:
             return None
         kw = {}
@@ -916,8 +962,8 @@ class VioApi:
             from ..geometry.poses import to_camera_to_world
 
             m0, m1, Q, _, _ = self._get_display_rectify()
-            gl = remap(jnp.asarray(self._last_images[0], jnp.float32), m0)
-            gr = remap(jnp.asarray(self._last_images[1], jnp.float32), m1)
+            gl = remap(jnp.asarray(self._norm_gray(self._last_images[0])), m0)
+            gr = remap(jnp.asarray(self._norm_gray(self._last_images[1])), m1)
             disp, dv = compute_disparity(gl, gr,
                                          default_max_disparity(self.width))
             pts, ok = point_cloud(disp, dv, jnp.asarray(Q),

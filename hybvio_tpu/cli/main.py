@@ -373,9 +373,14 @@ def run(argv=None) -> int:
     varying_intrinsics = [False]  # latches once a frame's lens differs
 
     def jnp_asarray_f32(a):
+        # normalized [0,1] view for host-side preprocessing (uint8 frame
+        # sources are raw 0-255; see io/video.py load_image_file)
         import jax.numpy as jnp
 
-        return jnp.asarray(a, jnp.float32)
+        arr = jnp.asarray(a)
+        if jnp.issubdtype(arr.dtype, jnp.integer):
+            return arr.astype(jnp.float32) / 255.0
+        return arr.astype(jnp.float32)
 
     last_kf_seen = {}
     est_positions = []

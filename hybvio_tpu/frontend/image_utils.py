@@ -49,10 +49,14 @@ def resize_bilinear_np(img, new_h: int, new_w: int):
     the input thread, not on device."""
     import numpy as np
 
-    a = np.asarray(img, dtype=np.float32)
+    src = np.asarray(img)
+    # integer frames resize in float and return uint8 (raw 0-255 frames stay
+    # raw through the input-scaling path; the device normalizes)
+    int_in = src.dtype.kind in "ui"
+    a = src.astype(np.float32)
     H, W = a.shape[:2]
     if (H, W) == (new_h, new_w):
-        return a
+        return src if int_in else a
     y = (np.arange(new_h) + 0.5) * H / new_h - 0.5
     x = (np.arange(new_w) + 0.5) * W / new_w - 0.5
     y0 = np.clip(np.floor(y).astype(np.int64), 0, H - 1)
@@ -63,4 +67,7 @@ def resize_bilinear_np(img, new_h: int, new_w: int):
     wx = np.clip(x - x0, 0.0, 1.0)[None, :]
     top = a[y0][:, x0] * (1 - wx) + a[y0][:, x1] * wx
     bot = a[y1][:, x0] * (1 - wx) + a[y1][:, x1] * wx
-    return top * (1 - wy) + bot * wy
+    out = top * (1 - wy) + bot * wy
+    if int_in:
+        return np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return out

@@ -39,6 +39,10 @@ def _load():
         lib.hyb_img_decode.restype = ctypes.c_int
         lib.hyb_img_decode.argtypes = [
             ctypes.c_char_p, f32p, ctypes.c_int, ctypes.c_int]
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        lib.hyb_img_decode_u8.restype = ctypes.c_int
+        lib.hyb_img_decode_u8.argtypes = [
+            ctypes.c_char_p, u8p, ctypes.c_int, ctypes.c_int]
         _LIB = lib
     except Exception:
         _LIB_FAILED = True
@@ -59,5 +63,25 @@ def decode_gray_native(path: str) -> Optional[np.ndarray]:
         return None
     out = np.empty((h.value, w.value), np.float32)
     if lib.hyb_img_decode(p, out, h.value, w.value) != 0:
+        return None
+    return out
+
+
+def decode_gray_u8_native(path: str) -> Optional[np.ndarray]:
+    """Decode to (H, W) uint8 raw 0-255, or None if unavailable/unsupported.
+
+    8-bit sources stay 8-bit end-to-end: the VIO step normalizes on the
+    accelerator, so the host->device transfer ships 1/4 the bytes of the
+    float32 form (reference carries 8-bit frames, image.cpp:345-367)."""
+    lib = _load()
+    if lib is None:
+        return None
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    p = path.encode()
+    if lib.hyb_img_probe(p, ctypes.byref(w), ctypes.byref(h)) != 0:
+        return None
+    out = np.empty((h.value, w.value), np.uint8)
+    if lib.hyb_img_decode_u8(p, out, h.value, w.value) != 0:
         return None
     return out

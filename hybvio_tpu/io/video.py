@@ -7,8 +7,11 @@ abstraction covers:
   * ``ImageDirSource``: PNG/JPG directories via PIL,
   * ``VideoFileSource``: .mp4/.avi via cv2 or an ffmpeg pipe when available
     (neither ships in this environment; the class degrades with a clear error).
-All sources yield float32 grayscale (H, W) in [0, 1] with background
-prefetching (reference: BoundedInputQueue double buffering).
+Sources yield grayscale (H, W) frames: uint8 raw 0-255 where the input is
+8-bit (PNG/PGM/JPG image dirs — the frame ships to the device raw and the
+jitted step normalizes, 1/4 the H2D bytes), float32 in [0, 1] elsewhere
+(recorded .npy frames). Background prefetching mirrors the reference's
+BoundedInputQueue double buffering.
 """
 from __future__ import annotations
 
@@ -46,7 +49,12 @@ class NpyFrameSource(FrameSource):
 
 
 def load_image_file(path: str) -> np.ndarray:
-    """Load one image file as grayscale float [0, 1].
+    """Load one image file as grayscale uint8 (raw 0-255).
+
+    8-bit frames stay 8-bit end-to-end: VioApi ships them raw and the jitted
+    step normalizes on the accelerator (odometry/vio.py normalize_input), so
+    the host->device transfer is 1/4 the bytes of pre-normalized float32
+    (reference pipeline likewise carries 8-bit frames, image.cpp:345-367).
 
     PNG/PGM go through the native decoder (native/image_decode.cpp) when
     built — it runs outside the GIL, so PrefetchingSource threads genuinely
@@ -54,14 +62,14 @@ def load_image_file(path: str) -> np.ndarray:
     EuRoC-sized frames. Everything else (or a decode error, e.g. interlaced
     PNG) falls back to PIL."""
     if path.endswith((".png", ".pgm", ".PNG", ".PGM")):
-        from .native_image import decode_gray_native
+        from .native_image import decode_gray_u8_native
 
-        img = decode_gray_native(path)
+        img = decode_gray_u8_native(path)
         if img is not None:
             return img
     from PIL import Image
 
-    return np.asarray(Image.open(path).convert("L"), dtype=np.float32) / 255.0
+    return np.asarray(Image.open(path).convert("L"))
 
 
 class ImageDirSource(FrameSource):
@@ -78,10 +86,9 @@ class ImageDirSource(FrameSource):
         self._shape = self.frame(0).shape
 
     def frame(self, number: int, camera_ind: int = 0) -> np.ndarray:
-        from PIL import Image
-
-        img = Image.open(self.files[number]).convert("L")
-        return np.asarray(img, dtype=np.float32) / 255.0
+        # uint8 end-to-end (see load_image_file): native GIL-free decode
+        # first, PIL fallback
+        return load_image_file(self.files[number])
 
     @property
     def shape(self):

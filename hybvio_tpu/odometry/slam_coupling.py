@@ -172,9 +172,14 @@ class SlamCoupling:
                  tt=float(t), fn=int(frame_num)):
             sel = ids >= 0
             # convert here — after the interval gate — so skipped keyframes
-            # never pay a device-to-host copy for the gray frame
+            # never pay a device-to-host copy for the gray frame. Integer
+            # frames are raw 0-255 (uint8 ingestion path) and the SLAM
+            # detectors/descriptors expect [0,1].
             if img is not None:
-                img = np.asarray(img, np.float32)
+                raw = np.asarray(img)
+                img = (raw.astype(np.float32) / 255.0
+                       if raw.dtype.kind in "ui" else
+                       np.asarray(raw, np.float32))
             pix = self._project_pixels(pts[sel]) if self.camera is not None else None
             return self.slam.add_frame(img, ocw, ids[sel], pts[sel], tt, fn,
                                        pix_pts=pix), ocw

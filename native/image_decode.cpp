@@ -287,4 +287,76 @@ int hyb_img_decode(const char *path, float *out, int h, int w) {
     return 0;
 }
 
+// Decode to RAW 8-bit grayscale (0-255); out must hold h*w bytes. Same
+// format support as hyb_img_decode. The uint8 form exists so 8-bit sources
+// stay 8-bit end-to-end: the VIO step normalizes on the accelerator and the
+// host->device transfer ships 1/4 the bytes of float32 (the reference
+// pipeline likewise carries 8-bit frames, image.cpp:345-367).
+int hyb_img_decode_u8(const char *path, uint8_t *out, int h, int w) {
+    Bytes file = read_file(path);
+    if (!file.ok) return -1;
+
+    PgmInfo pgm = pgm_parse(file);
+    if (pgm.ok) {
+        if ((int)pgm.w != w || (int)pgm.h != h) return -3;
+        size_t n = (size_t)w * h;
+        if (pgm.maxval == 255) {
+            if (file.data.size() < pgm.data_off + n) return -4;
+            memcpy(out, &file.data[pgm.data_off], n);
+        } else if (pgm.maxval < 256) {
+            if (file.data.size() < pgm.data_off + n) return -4;
+            const uint8_t *p = &file.data[pgm.data_off];
+            for (size_t i = 0; i < n; i++)
+                out[i] = (uint8_t)((p[i] * 255u + pgm.maxval / 2) / pgm.maxval);
+        } else {
+            if (file.data.size() < pgm.data_off + 2 * n) return -4;
+            const uint8_t *p = &file.data[pgm.data_off];
+            for (size_t i = 0; i < n; i++) out[i] = p[2 * i];  // high byte
+        }
+        return 0;
+    }
+
+    PngInfo png = png_parse_header(file);
+    if (!png.ok) return -2;
+    if ((int)png.w != w || (int)png.h != h) return -3;
+    if (png.interlace != 0) return -5;
+    int channels;
+    switch (png.color_type) {
+        case 0: channels = 1; break;
+        case 2: channels = 3; break;
+        case 4: channels = 2; break;
+        case 6: channels = 4; break;
+        default: return -6;
+    }
+    if (png.bit_depth != 8 && !(png.bit_depth == 16 && png.color_type == 0))
+        return -7;
+
+    std::vector<uint8_t> raw;
+    raw.reserve((size_t)w * h * channels + h);
+    if (!png_inflate(file, raw)) return -8;
+
+    int bytes_per_sample = png.bit_depth / 8;
+    int bpp = channels * bytes_per_sample;
+    size_t stride = (size_t)w * bpp;
+    if (!png_unfilter(raw, png.h, stride, bpp)) return -9;
+
+    for (uint32_t y = 0; y < png.h; y++) {
+        const uint8_t *row = &raw[y * (stride + 1) + 1];
+        uint8_t *o = out + (size_t)y * w;
+        if (png.color_type == 0 && png.bit_depth == 8) {
+            memcpy(o, row, w);
+        } else if (png.color_type == 0) {  // 16-bit gray: high byte
+            for (int x = 0; x < w; x++) o[x] = row[2 * x];
+        } else if (png.color_type == 4) {  // gray + alpha
+            for (int x = 0; x < w; x++) o[x] = row[2 * x];
+        } else {  // RGB / RGBA -> integer luma (0.299/0.587/0.114)
+            for (int x = 0; x < w; x++) {
+                const uint8_t *p = row + x * channels;
+                o[x] = (uint8_t)((299u * p[0] + 587u * p[1] + 114u * p[2] + 500u) / 1000u);
+            }
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -41,11 +41,37 @@ def test_pgm(images):
 
 
 def test_load_image_file_uses_native(images):
+    # frames stay RAW uint8 end-to-end (the device normalizes;
+    # io/video.py load_image_file)
     from hybvio_tpu.io.video import load_image_file
 
     d, gray, _ = images
     out = load_image_file(str(d / "gray.png"))
-    np.testing.assert_allclose(out, gray.astype(np.float32) / 255.0, atol=1e-6)
+    assert out.dtype == np.uint8
+    np.testing.assert_array_equal(out, gray)
+
+
+def test_decode_u8_gray_and_pgm(images):
+    from hybvio_tpu.io.native_image import decode_gray_u8_native
+
+    d, gray, _ = images
+    out = decode_gray_u8_native(str(d / "gray.png"))
+    assert out is not None and out.dtype == np.uint8
+    np.testing.assert_array_equal(out, gray)
+    out = decode_gray_u8_native(str(d / "gray.pgm"))
+    np.testing.assert_array_equal(out, gray)
+
+
+def test_decode_u8_rgb_luma(images):
+    from hybvio_tpu.io.native_image import decode_gray_u8_native
+
+    d, _, rgb = images
+    out = decode_gray_u8_native(str(d / "rgb.png"))
+    ref = np.rint((299 * rgb[..., 0].astype(np.uint32)
+                   + 587 * rgb[..., 1].astype(np.uint32)
+                   + 114 * rgb[..., 2].astype(np.uint32)) / 1000.0)
+    assert out is not None and out.dtype == np.uint8
+    assert np.abs(out.astype(int) - ref.astype(int)).max() <= 1
 
 
 def test_bad_file_falls_back(tmp_path):
