@@ -24,12 +24,78 @@ driver; CPU locally with JAX_PLATFORMS=cpu). Uses float32 on device.
 import json
 import os
 import sys
+import threading
 import time
 
 import numpy as np
 
 STEREO_BASELINE = 0.11
 KB4 = (0.0035, 0.0007, -0.002, 0.0002)
+
+# ---------------------------------------------------------------------------
+# Wall-clock budget + guaranteed output (round-4 post-mortem: the driver's
+# bench run hit its external timeout -> rc=124 -> NO parsed JSON at all.
+# This round the benchmark self-limits: stages run in priority order, each
+# gated on the remaining budget, and a watchdog emits the best-so-far JSON
+# line and exits if anything (e.g. a TPU-tunnel stall) overruns.)
+# ---------------------------------------------------------------------------
+T_START = time.monotonic()
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "900"))
+RESULT = {}  # filled progressively; emitted exactly once
+_EMITTED = threading.Event()
+
+
+def elapsed() -> float:
+    return time.monotonic() - T_START
+
+
+def remaining() -> float:
+    return BUDGET_S - elapsed()
+
+
+def emit(tag=None):
+    """Print the single JSON result line exactly once."""
+    if _EMITTED.is_set() or not RESULT:
+        return
+    _EMITTED.set()
+    if tag:
+        RESULT.setdefault("extra", {})["emitted_by"] = tag
+    RESULT.setdefault("extra", {})["bench_wall_s"] = round(elapsed(), 1)
+    print(json.dumps(RESULT), flush=True)
+
+
+def _watchdog():
+    """Hard backstop: emit partial results and exit at budget + grace."""
+    grace = float(os.environ.get("BENCH_WATCHDOG_GRACE_S", "60"))
+    while True:
+        left = BUDGET_S + grace - elapsed()
+        if left <= 0:
+            break
+        if _EMITTED.is_set():
+            return
+        time.sleep(min(left, 5.0))
+    if not _EMITTED.is_set():
+        print("bench: watchdog fired at %.0fs; emitting partial result"
+              % elapsed(), file=sys.stderr)
+        emit(tag="watchdog")
+        sys.stderr.flush()
+        sys.stdout.flush()
+        os._exit(0)
+
+
+threading.Thread(target=_watchdog, daemon=True).start()
+
+
+def stage_gate(extra: dict, name: str, est_s: float) -> bool:
+    """True if stage `name` (estimated cost est_s) fits the remaining budget;
+    records the skip in extra otherwise."""
+    if remaining() >= est_s:
+        return True
+    extra.setdefault("skipped_budget", []).append(
+        {"stage": name, "est_s": est_s, "remaining_s": round(remaining(), 1)})
+    print("bench: skipping %s (est %.0fs > remaining %.0fs)"
+          % (name, est_s, remaining()), file=sys.stderr)
+    return False
 
 
 def build_config(config, jnp):
@@ -112,6 +178,37 @@ def build_config(config, jnp):
     return p, (cam,), render, seq_kwargs
 
 
+def build_device_renderer(config, batched=False):
+    """Jitted on-device frame renderer for a bench config family
+    (io/synthetic_jax.py): same world as build_config's host `render`, but
+    rendered as one XLA program per frame with frames staying device-resident
+    — host rendering at 752x480 costs ~240 ms/frame, which dominated (and
+    round 4: overran) the driver bench budget.
+
+    Returns render(landmarks, pos, quat) -> (C, H, W); vmapped when batched.
+    """
+    import jax
+
+    from hybvio_tpu.io.synthetic import SYNTH_IMU_TO_CAMERA
+    from hybvio_tpu.io.synthetic_jax import make_blob_renderer
+
+    if config == "fisheye":
+        W = H = 512
+        FX = 190.0
+        fn = make_blob_renderer([SYNTH_IMU_TO_CAMERA], FX, FX, W / 2, H / 2,
+                                W, H, fisheye_coeffs=KB4, max_fov_deg=150.0)
+    else:
+        W, H = 752, 480
+        FX = 458.0
+        cams = [SYNTH_IMU_TO_CAMERA]
+        if config in ("stereo", "vislam"):
+            second = np.asarray(SYNTH_IMU_TO_CAMERA).copy()
+            second[0, 3] = -STEREO_BASELINE
+            cams.append(second)
+        fn = make_blob_renderer(cams, FX, FX, W / 2, H / 2, W, H)
+    return jax.vmap(fn) if batched else fn
+
+
 def _device_backend_or_cpu(probe_timeout_s: int = 180) -> str:
     """Probe the ambient accelerator in a SUBPROCESS with a hard timeout.
 
@@ -188,27 +285,36 @@ def main():
     if config == "vislam":
         return run_vislam(p, seq, render, F, jnp)
 
-    def stage(frame):
-        if isinstance(frame, tuple):
-            return tuple(jax.device_put(jnp.asarray(f, dtype)) for f in frame)
-        return jax.device_put(jnp.asarray(frame, dtype))
+    # pre-stage frames by rendering ON DEVICE (io/synthetic_jax.py): the
+    # timed loop measures the pipeline, not the H2D tunnel or the host
+    # renderer (the reference's video reader threads hide decode/upload the
+    # same way; the live-ingest stage below measures the real host->device
+    # path against the real step)
+    render_dev = build_device_renderer(config)
+    n_cams = 2 if config in ("stereo", "vislam") else 1
 
-    # pre-stage frames on device: the timed loop measures the pipeline, not
-    # the H2D tunnel (the reference's video reader threads hide decode/upload
-    # the same way; see io/video.py PrefetchingSource for the live path —
-    # measured against the real step in extra.live_ingest below)
-    def host_stage(frame):
-        if isinstance(frame, tuple):
-            return tuple(np.asarray(f, np.float32) for f in frame)
-        return np.asarray(frame, np.float32)
+    def dev_frame(fi):
+        k = seq.frame_sample_idx[fi]
+        out = render_dev(seq.landmarks, seq.pos[k], seq.quat[k])
+        if n_cams > 1:
+            return tuple(out[i] for i in range(n_cams))
+        return out[0]
 
-    host_frames = [host_stage(render(seq, fi)) for fi in range(F)]
-    frames = [stage(f) for f in host_frames]
+    frames = [dev_frame(fi) for fi in range(F)]
+
+    def fetch_host_frames(n):
+        """First n frames as host float32 arrays (for the live-ingest
+        stage, which measures genuine host->device per-step uploads)."""
+        def to_host(f):
+            if isinstance(f, tuple):
+                return tuple(np.asarray(x, np.float32) for x in f)
+            return np.asarray(f, np.float32)
+        return [to_host(f) for f in frames[:n]]
 
     if mode == "batched":
         return run_batched(p, derived, cams, seq, frames, F, B, dtype, config,
                            render=render, seq_kwargs=seq_kwargs,
-                           host_frames=host_frames)
+                           fetch_host=fetch_host_frames)
 
     init_fn, vio_step = make_vio(p, derived, cams,
                                  max_tracks=p.tracker.maxTracks, dtype=dtype)
@@ -274,11 +380,12 @@ def main():
             "p50_latency_ms": round(1000.0 * elapsed / (F - 1), 2),
         },
     }
-    print(json.dumps(result))
+    RESULT.update(result)
+    emit(tag="single")
 
 
 def run_batched(p, derived, cams, seq, frames, F, B, dtype, config,
-                render=None, seq_kwargs=None, host_frames=None):
+                render=None, seq_kwargs=None, fetch_host=None):
     """Batched offline benchmark: B sequences in parallel on one chip
     (the per-chip throughput mode; cross-sequence batching is the designed
     TPU scaling axis, SURVEY.md section 2). For benchmarking, the B lanes
@@ -356,10 +463,10 @@ def run_batched(p, derived, cams, seq, frames, F, B, dtype, config,
     # The steps chain through `states`, so the last output completing means
     # every step completed.
     last_pos = np.asarray(positions[-1])  # the value fetch forces D2H
-    elapsed = _time.perf_counter() - t0
+    elapsed_run = _time.perf_counter() - t0
     del last_pos
 
-    agg_fps = B * (F - 1) / elapsed
+    agg_fps = B * (F - 1) / elapsed_run
     est = np.stack([np.asarray(x) for x in positions])  # (F-1, B, 3)
     gt = seq.pos[seq.frame_sample_idx[1:F]] - seq.pos[0]
     ates = []
@@ -367,6 +474,7 @@ def run_batched(p, derived, cams, seq, frames, F, B, dtype, config,
         lane = est[:, b_, :]
         if np.isfinite(lane).all():
             ates.append(ate_rmse(lane, gt))
+    step_elapsed = elapsed_run
     result = {
         "metric": f"synthetic_{config}_vio_batched_fps_per_chip",
         "value": round(agg_fps, 2),
@@ -375,13 +483,41 @@ def run_batched(p, derived, cams, seq, frames, F, B, dtype, config,
         "extra": {
             "batch": B,
             "frames_per_seq": F - 1,
-            "step_latency_ms": round(1000.0 * elapsed / (F - 1), 2),
+            "step_latency_ms": round(1000.0 * step_elapsed / (F - 1), 2),
             "finite_lanes": len(ates),
             "ate_rmse_m_median": round(float(np.median(ates)), 4) if ates else None,
             "backend": jax.default_backend(),
         },
     }
-    if os.environ.get("BENCH_H2D", "1") != "0" and host_frames is not None:
+    # publish the headline immediately: from here on the watchdog can emit a
+    # meaningful line even if a later stage stalls
+    RESULT.update(result)
+    extra = result["extra"]
+    stage_t = extra.setdefault("stage_wall_s", {})
+
+    def run_stage(name, est_s, fn):
+        if not stage_gate(extra, name, est_s):
+            return
+        t0s = time.monotonic()
+        try:
+            fn()
+        except Exception as e:  # a failed extra must not kill the headline
+            extra.setdefault("stage_errors", {})[name] = repr(e)[:200]
+        stage_t[name] = round(time.monotonic() - t0s, 1)
+
+    # Priority 1: the long textured accuracy protocol (the benchmark-grade
+    # ATE evidence; VERDICT r2 item 1) — legs individually budget-gated
+    if os.environ.get("BENCH_LONG", "1") != "0":
+        extra["textured_long"] = {}
+        run_textured_long_staged(extra, run_stage)
+    elif os.environ.get("BENCH_TEXTURED", "1") != "0":
+        from hybvio_tpu.eval.textured_probe import run_textured_probe
+
+        extra["textured_world"] = run_textured_probe(
+            duration=6.0, stereo=(config in ("stereo", "vislam")),
+            fisheye=(config == "fisheye"))
+
+    def do_live_ingest():
         # live-ingest overlap against the REAL batched step (not a surrogate
         # compute): frames start on the HOST and are uploaded per step,
         # either serially (upload, then step) or double-buffered (a prefetch
@@ -389,8 +525,14 @@ def run_batched(p, derived, cams, seq, frames, F, B, dtype, config,
         # io/video.py PrefetchingSource pattern; reference contract:
         # decode/upload hidden behind compute, video_input.cpp:23-58).
         # With shared_frames the per-step upload is ONE frame copy —
-        # exactly what the live path ships.
+        # exactly what the live path ships. Measured over a bounded frame
+        # window (BENCH_LIVE_FRAMES) — upload cost per frame is stationary,
+        # so a ~120-frame window gives the same per-frame numbers as the
+        # full sequence at a fraction of the wall cost.
         import threading
+
+        Fl = min(F, int(os.environ.get("BENCH_LIVE_FRAMES", "121")))
+        host_frames = fetch_host(Fl)
 
         def stage_one(frame):
             if isinstance(frame, tuple):
@@ -413,11 +555,11 @@ def run_batched(p, derived, cams, seq, frames, F, B, dtype, config,
                 th.start()
             t0 = _time.perf_counter()
             last = None
-            for fi in range(1, F):
+            for fi in range(1, Fl):
                 if prefetch:
                     th.join()
                     dev = slot.pop(fi)
-                    if fi + 1 < F:
+                    if fi + 1 < Fl:
                         th = threading.Thread(target=up, args=(fi + 1,))
                         th.start()
                 else:
@@ -429,24 +571,25 @@ def run_batched(p, derived, cams, seq, frames, F, B, dtype, config,
 
         # upload-only cost of one frame per step (same value-fetch barrier)
         t0 = _time.perf_counter()
-        for fi in range(1, F):
+        for fi in range(1, Fl):
             dev = stage_one(host_frames[fi])
             _ = np.asarray((dev[0] if isinstance(dev, tuple) else dev)[0, :1])
         h2d_s = _time.perf_counter() - t0
 
         serial_s = timed_live(prefetch=False)
         overlap_s = timed_live(prefetch=True)
-        n = F - 1
+        n = Fl - 1
         hidden = (serial_s - overlap_s) / max(h2d_s, 1e-9)
-        result["extra"]["live_ingest"] = {
+        extra["live_ingest"] = {
             "fps_prestaged": round(agg_fps, 2),
             "fps_live_serial": round(B * n / serial_s, 2),
             "fps_live_prefetch": round(B * n / overlap_s, 2),
             "h2d_ms_per_frame": round(1000.0 * h2d_s / n, 2),
-            "step_ms_prestaged": round(1000.0 * elapsed / n, 2),
+            "step_ms_prestaged": round(1000.0 * step_elapsed / (F - 1), 2),
             "serial_ms_per_frame": round(1000.0 * serial_s / n, 2),
             "overlapped_ms_per_frame": round(1000.0 * overlap_s / n, 2),
             "hidden_frac": round(float(np.clip(hidden, 0.0, 1.0)), 3),
+            "frames": n,
         }
         # 8-bit ingestion: the live camera payload is uint8; shipping it raw
         # costs 1/4 the H2D bytes (the step normalizes on device,
@@ -465,43 +608,32 @@ def run_batched(p, derived, cams, seq, frames, F, B, dtype, config,
         _, out_w = batched_step(st_w, batches[0], stage_one(u8_frames[1]))
         jax.block_until_ready(out_w.position)
         t0 = _time.perf_counter()
-        for fi in range(1, F):
+        for fi in range(1, Fl):
             dev = stage_one(u8_frames[fi])
             _ = np.asarray((dev[0] if isinstance(dev, tuple) else dev)[0, :1])
         h2d_u8_s = _time.perf_counter() - t0
         serial_u8_s = timed_live(prefetch=False, host_frames=u8_frames)
         overlap_u8_s = timed_live(prefetch=True, host_frames=u8_frames)
-        result["extra"]["live_ingest"].update({
+        extra["live_ingest"].update({
             "fps_live_serial_u8": round(B * n / serial_u8_s, 2),
             "fps_live_prefetch_u8": round(B * n / overlap_u8_s, 2),
             "h2d_u8_ms_per_frame": round(1000.0 * h2d_u8_s / n, 2),
         })
+
+    if os.environ.get("BENCH_H2D", "1") != "0" and fetch_host is not None:
+        run_stage("live_ingest", 150, do_live_ingest)
+
     if os.environ.get("BENCH_SEED_DIVERSE", "1") != "0" and render is not None:
         # the ATE statistic over B DISTINCT worlds/trajectories (per-lane
         # seeds + per-lane trajectory geometry) — the shared-frame lanes
         # above are the FPS config; this one exercises per-lane divergence
         # masking at bench scale (SURVEY section 2: the batched config is B
         # distinct sequences)
-        result["extra"]["seed_diverse"] = run_seed_diverse(
-            p, derived, cams, F, B, dtype, config, render, seq_kwargs)
-    if os.environ.get("BENCH_LONG", "1") != "0":
-        # benchmark-grade textured accuracy protocol: LONG (default 60 s /
-        # 600-frame) ray-cast sequences at the bench resolutions on a
-        # multi-lap revisit trajectory, all four families, including full
-        # VISLAM — the in-repo stand-in for the reference's EuRoC/TUM-VI
-        # protocol (reference: README.md:72-83). The vislam entry carries
-        # steady-state FPS (finish() teardown reported separately) and its
-        # ATE is directly comparable to the stereo entry (same trajectory,
-        # same world, SLAM off) = the SLAM-on-vs-off evidence.
-        result["extra"]["textured_long"] = run_textured_long()
-    elif os.environ.get("BENCH_TEXTURED", "1") != "0":
-        # reduced-shape fallback (CPU): the short 59-frame textured probe
-        from hybvio_tpu.eval.textured_probe import run_textured_probe
-
-        result["extra"]["textured_world"] = run_textured_probe(
-            duration=6.0, stereo=(config in ("stereo", "vislam")),
-            fisheye=(config == "fisheye"))
-    print(_json.dumps(result))
+        run_stage("seed_diverse", 120, lambda: extra.__setitem__(
+            "seed_diverse",
+            run_seed_diverse(p, derived, cams, F, B, dtype, config, render,
+                             seq_kwargs)))
+    emit(tag="complete")
 
 
 def run_seed_diverse(p, derived, cams, F, B, dtype, config, render,
@@ -512,9 +644,11 @@ def run_seed_diverse(p, derived, cams, F, B, dtype, config, render,
     realization, AND its own trajectory geometry (radius / angular speed /
     z-wobble drawn per lane), so the B-lane median/p90 ATE is a statistic
     over sixteen different worlds rather than sixteen noise-jittered replays
-    of seed 0. Frames are uploaded per step and rendered lazily — this lane
-    measures ACCURACY and per-lane reset/divergence masking in the batched
-    program, not FPS (the shared-frame run above is the FPS config).
+    of seed 0. Frames render ON DEVICE per step (vmapped blob renderer,
+    io/synthetic_jax.py — host rendering of B lanes cost ~8 s/step, which
+    overran the round-4 driver budget) — this lane measures ACCURACY and
+    per-lane reset/divergence masking in the batched program, not FPS (the
+    shared-frame run above is the FPS config).
     """
     import jax
     import jax.numpy as jnp
@@ -546,14 +680,17 @@ def run_seed_diverse(p, derived, cams, F, B, dtype, config, render,
         p, derived, cams, batch_size=B, max_tracks=p.tracker.maxTracks,
         dtype=dtype, shared_frames=False)
 
+    render_bat = build_device_renderer(config, batched=True)
+    lms = jnp.asarray(np.stack([s.landmarks for s in seqs]), dtype)
+
     def frames_at(fi):
-        per_lane = [render(s, fi) for s in seqs]
-        if isinstance(per_lane[0], tuple):
-            return tuple(
-                jax.device_put(jnp.asarray(np.stack([f[i] for f in per_lane]),
-                                           dtype))
-                for i in range(len(per_lane[0])))
-        return jax.device_put(jnp.asarray(np.stack(per_lane), dtype))
+        k = idx[fi]
+        pos = jnp.asarray(np.stack([s.pos[k] for s in seqs]), dtype)
+        quat = jnp.asarray(np.stack([s.quat[k] for s in seqs]), dtype)
+        out = render_bat(lms, pos, quat)  # (B, C, H, W), device-resident
+        if out.shape[1] > 1:
+            return tuple(out[:, i] for i in range(out.shape[1]))
+        return out[:, 0]
 
     S_max = int(np.max(np.diff(np.concatenate([[0], idx + 1]))))
 
@@ -603,38 +740,55 @@ def run_seed_diverse(p, derived, cams, F, B, dtype, config, render,
     }
 
 
-def run_textured_long():
-    """The long textured protocol for the default bench output
-    (VERDICT round-2 item 1). Durations env-tunable:
-    BENCH_LONG_DURATION (default 60 s), BENCH_VISLAM_DURATION (default also
-    60 s — with pipelined output retirement the full VioApi+SLAM path
-    sustains >10 FPS, so the full-length leg fits the driver budget)."""
+def run_textured_long_staged(extra, run_stage):
+    """The long textured protocol (VERDICT round-2 item 1) as budget-gated
+    stages, priority-ordered: stereo (the comparability anchor), vislam (the
+    flagship full-system config), mono, fisheye, then the statistics legs
+    (multi-seed mono; the API-path stereo run). Each leg records into
+    extra["textured_long"] as soon as it finishes so a watchdog emission
+    carries everything completed so far. Durations env-tunable:
+    BENCH_LONG_DURATION (default 60 s), BENCH_VISLAM_DURATION (default same).
+    """
     from hybvio_tpu.eval.long_probe import run_long_probe
 
     dur = float(os.environ.get("BENCH_LONG_DURATION", "60"))
     vdur = float(os.environ.get("BENCH_VISLAM_DURATION", str(dur)))
-    out = {}
-    for fam in ("stereo", "mono", "fisheye"):
-        out[fam] = run_long_probe(fam, duration=dur)
+    out = extra["textured_long"]
+
+    def leg(fam, key=None, **kw):
+        out[key or fam] = run_long_probe(fam, **kw)
+
+    run_stage("long_stereo", 140,
+              lambda: leg("stereo", duration=dur))
+    # vislam ATE is directly comparable to the stereo entry (same trajectory,
+    # same world, SLAM off) = the SLAM-on-vs-off evidence; steady-state FPS
+    # and finish() teardown reported separately
+    run_stage("long_vislam", 170,
+              lambda: leg("vislam", duration=vdur))
+    run_stage("long_mono", 60, lambda: leg("mono", duration=dur))
+    run_stage("long_fisheye", 55, lambda: leg("fisheye", duration=dur))
+
     # mono single-seed ATE is decision-cascade chaotic (measured spread
     # 0.06-0.17 across seeds in both covariance forms); carry a multi-seed
     # median so the mono accuracy number is a statistic, not one draw
-    seeds = [int(s) for s in
-             os.environ.get("BENCH_MONO_SEEDS", "9,10").split(",") if s]
-    if seeds:
-        ates = [out["mono"]["ate_rmse_m"]] + [
+    def multiseed():
+        seeds = [int(s) for s in
+                 os.environ.get("BENCH_MONO_SEEDS", "9,10").split(",") if s]
+        base = out.get("mono", {}).get("ate_rmse_m")
+        ates = ([base] if base is not None else []) + [
             run_long_probe("mono", duration=dur, seed=s)["ate_rmse_m"]
             for s in seeds]
         vals = [a for a in ates if a is not None]
         out["mono_multiseed"] = {
             "seeds": [8] + seeds, "ates": ates,
             "median": round(float(np.median(vals)), 4) if vals else None}
+
+    run_stage("long_mono_multiseed", 110, multiseed)
     # the SAME stereo run through the full VioApi + native sample sync: the
     # host/API layer gets benchmark-scale accuracy evidence next to the
     # jitted-loop number (VERDICT r3 item 5)
-    out["stereo_api"] = run_long_probe("stereo_api", duration=dur)
-    out["vislam"] = run_long_probe("vislam", duration=vdur)
-    return out
+    run_stage("long_stereo_api", 150,
+              lambda: leg("stereo_api", duration=dur))
 
 
 def run_vislam(p, seq, render, F, jnp):
@@ -653,8 +807,16 @@ def run_vislam(p, seq, render, F, jnp):
     outputs = []
     api.on_output = outputs.append
 
-    # pre-render frames (measure the pipeline, not the renderer)
-    frames = [render(seq, fi) for fi in range(F)]
+    # pre-render frames on device (measure the pipeline, not the renderer;
+    # the host renderer costs ~240 ms/frame at this resolution)
+    render_dev = build_device_renderer("vislam")
+
+    def dev_frame(fi):
+        k = seq.frame_sample_idx[fi]
+        out = render_dev(seq.landmarks, seq.pos[k], seq.quat[k])
+        return (out[0], out[1])
+
+    frames = [dev_frame(fi) for fi in range(F)]
 
     frame_set = {int(k): fi for fi, k in enumerate(seq.frame_sample_idx[:F])}
     # warm up compile with the first two frames before timing
@@ -704,12 +866,13 @@ def run_vislam(p, seq, render, F, jnp):
             "backend": _jax.default_backend(),
         },
     }
+    RESULT.update(result)
     if os.environ.get("BENCH_TEXTURED", "1") != "0":
         from hybvio_tpu.eval.textured_probe import run_textured_probe
 
         result["extra"]["textured_world"] = run_textured_probe(
             duration=6.0, stereo=True)
-    print(json.dumps(result))
+    emit(tag="vislam")
 
 
 if __name__ == "__main__":
