@@ -233,10 +233,20 @@ def _device_backend_or_cpu(probe_timeout_s: int = 180) -> str:
     return "cpu"
 
 
+CORE_T = {}  # core-stage phase wall times (diagnosing prestage overhead)
+
+
+def _mark(name, t0):
+    CORE_T[name] = round(time.monotonic() - t0, 1)
+    return time.monotonic()
+
+
 def main():
     import jax
 
+    t0 = time.monotonic()
     platform = _device_backend_or_cpu()
+    t0 = _mark("probe", t0)
     if platform:
         jax.config.update("jax_platforms", platform)
         if platform == "cpu":
@@ -276,9 +286,11 @@ def main():
 
     p, cams, render, seq_kwargs = build_config(config, jnp)
     derived = DerivedParameters.from_parameters(p)
+    t0 = _mark("imports_build", t0)
 
     seq = generate_sequence(duration=duration, imu_rate=200.0,
                             frame_rate=20.0, **seq_kwargs)
+    t0 = _mark("seqgen", t0)
 
     F = min(n_frames, len(seq.frame_sample_idx))
 
@@ -301,6 +313,8 @@ def main():
         return out[0]
 
     frames = [dev_frame(fi) for fi in range(F)]
+    jax.block_until_ready(frames[-1])
+    t0 = _mark("render_stage", t0)
 
     def fetch_host_frames(n):
         """First n frames as host float32 arrays (for the live-ingest
@@ -444,13 +458,16 @@ def run_batched(p, derived, cams, seq, frames, F, B, dtype, config,
     prev = seq.frame_sample_idx[0] + 1
     # pre-stage per-frame IMU batches (measure the pipeline, not the tunnel)
     batches = []
+    tm = time.monotonic()
     for fi in range(1, F):
         b, prev = batch_for(fi, prev)
         batches.append(jax.device_put(b))
     jax.block_until_ready(batches[-1].t)
+    tm = _mark("imu_stage", tm)
 
     warm, _ = batched_step(states, batches[0], frames[1])
     jax.block_until_ready(warm.backend.ekf.m)
+    tm = _mark("warmup_compile", tm)
 
     positions = []
     t0 = _time.perf_counter()
@@ -487,6 +504,7 @@ def run_batched(p, derived, cams, seq, frames, F, B, dtype, config,
             "finite_lanes": len(ates),
             "ate_rmse_m_median": round(float(np.median(ates)), 4) if ates else None,
             "backend": jax.default_backend(),
+            "core_wall_s": CORE_T,
         },
     }
     # publish the headline immediately: from here on the watchdog can emit a
@@ -863,6 +881,7 @@ def run_vislam(p, seq, render, F, jnp):
             "teardown_s": round(teardown_s, 2),
             "slam_keyframes": len(api.slam.slam.kf_order) if api.slam else 0,
             "loop_events": len(api.slam.slam.loop_events) if api.slam else 0,
+            "dropped_candidates": api.slam.dropped if api.slam else 0,
             "backend": _jax.default_backend(),
         },
     }

@@ -309,5 +309,10 @@ def _run_api(family, duration, seed, frame_rate, imu_rate, chunk, overrides,
         slam = api.slam.slam if api.slam else None
         out.update({"keyframes": len(slam.kf_order) if slam else 0,
                     "loop_events": len(slam.loop_events) if slam else 0,
-                    "map_points": len(slam.points) if slam else 0})
+                    "map_points": len(slam.points) if slam else 0,
+                    # candidates dropped by the bounded non-blocking ingest
+                    # policy (slam_coupling.py): nonzero means the SLAM host
+                    # worker was starved (e.g. CPU contention) and the
+                    # keyframe/loop counts undercount the design's capability
+                    "dropped_candidates": api.slam.dropped if api.slam else 0})
     return out

@@ -358,16 +358,29 @@ def test_gray_pool_reuse():
     from hybvio_tpu.utils.allocator import Allocator
 
     api._gray_pool = Allocator(lambda: np.empty((48, 64), np.float32), max_size=16)
+    api._u8_pool = Allocator(lambda: np.empty((48, 64), np.uint8), max_size=16)
+    # uint8 frames stay uint8 (pooled copy; normalization happens on device)
     img = (np.arange(48 * 64, dtype=np.uint8).reshape(48, 64) % 251)
     g1 = api._to_gray(img)
-    assert g1.dtype == np.float32
-    np.testing.assert_allclose(g1, img / 255.0, rtol=1e-6)
+    assert g1.dtype == np.uint8
+    np.testing.assert_array_equal(g1, img)
     held = g1  # keep a reference: the next call must NOT reuse this slot
     g2 = api._to_gray(img + 1)
     assert g2 is not held
     del held
     g3 = api._to_gray(img)  # g1's slot is free now; pool may reuse it
-    np.testing.assert_allclose(g3, img / 255.0, rtol=1e-6)
+    np.testing.assert_array_equal(g3, img)
+    # non-f32 float frames convert into the pooled float32 gray buffers
+    imgf = (img.astype(np.float64) / 255.0)
+    f1 = api._to_gray(imgf)
+    assert f1.dtype == np.float32
+    np.testing.assert_allclose(f1, imgf, rtol=1e-6)
+    heldf = f1
+    f2 = api._to_gray(imgf * 0.5)
+    assert f2 is not heldf
+    del heldf
+    f3 = api._to_gray(imgf)
+    np.testing.assert_allclose(f3, imgf, rtol=1e-6)
 
 
 @pytest.mark.slow
