@@ -70,7 +70,45 @@ def make_batched_vio(params, derived, cameras, batch_size: int,
     else:
         batched_step = jax.jit(vstep)
 
+    batched_step.vstep = vstep  # unjitted: composable under lax.scan
     return batched_init, batched_step
+
+
+def make_batched_scan(params, derived, cameras, batch_size: int,
+                      max_tracks: Optional[int] = None, dtype=jnp.float32,
+                      shared_frames: bool = True):
+    """(batched_init, scan_run) where scan_run folds a whole frame sequence
+    into ONE jitted program via lax.scan over the per-frame step.
+
+    scan_run(states, imu_stack, frames_stack) -> (states, positions):
+      imu_stack    ImuBatch with a leading frame axis: t (F, B, S), ...
+      frames_stack (F, H, W) per camera (shared_frames) or (F, B, H, W)
+      positions    (F, B, 3)
+
+    Rationale: the offline benchmark's eager loop dispatches one device call
+    per frame; over a high-latency link (remote-TPU tunnel, ~32 ms RTT) the
+    loop is dispatch-bound, not compute-bound. Scanning over the staged
+    sequence makes throughput = pure device throughput — the TPU-idiomatic
+    shape for the reference's "all sequences in parallel" offline benchmark
+    (SURVEY.md section 2; reference analog: the main loop's per-frame
+    processing, main.cpp:619-985, which has no such link to amortize).
+    The per-frame step function is byte-identical to the eager path (the
+    same vmapped vio_step), so trajectories agree to float tolerance.
+    """
+    batched_init, batched_step = make_batched_vio(
+        params, derived, cameras, batch_size=batch_size,
+        max_tracks=max_tracks, dtype=dtype, shared_frames=shared_frames)
+    vstep = batched_step.vstep
+
+    def scan_run(states, imu_stack, frames_stack):
+        def body(st, xs):
+            imu, fr = xs
+            st, out = vstep(st, imu, fr)
+            return st, out.position
+
+        return jax.lax.scan(body, states, (imu_stack, frames_stack))
+
+    return batched_init, jax.jit(scan_run)
 
 
 def make_mesh(n_devices: Optional[int] = None) -> Mesh:

@@ -99,6 +99,54 @@ def test_shared_frames_matches_tiled():
                                rtol=1e-6, atol=1e-8)
 
 
+def test_scan_matches_eager_loop():
+    """lax.scan over frames (make_batched_scan — the one-dispatch offline
+    throughput mode) must reproduce the eager per-frame dispatch loop: the
+    scan body is the same vmapped vio_step."""
+    from hybvio_tpu.parallel.batched import make_batched_scan
+
+    p, derived, cam = tiny_setup()
+    B, steps, S = 4, 4, 6
+    rng = np.random.RandomState(5)
+    imgs = jnp.asarray(rng.rand(steps + 1, 64, 96), jnp.float32)
+    gyro = jnp.asarray(0.02 * rng.randn(steps, B, S, 3), jnp.float32)
+
+    def imu_at(k):
+        return ImuBatch(
+            t=jnp.asarray(np.tile(10.0 + (k * S + 1 + np.arange(S)) * 0.005,
+                                  (B, 1)), jnp.float32),
+            gyro=gyro[k],
+            acc=jnp.asarray(np.tile([0.0, 0.0, 9.819], (B, S, 1)),
+                            jnp.float32),
+            valid=jnp.ones((B, S), bool),
+        )
+
+    # eager loop (shared frames)
+    binit, bstep = make_batched_vio(p, derived, (cam,), batch_size=B,
+                                    max_tracks=12, dtype=jnp.float32,
+                                    shared_frames=True)
+    states = binit(imgs[0], np.full(B, 10.0), np.arange(B))
+    eager_pos = []
+    for k in range(steps):
+        states, out = bstep(states, imu_at(k), imgs[k + 1])
+        eager_pos.append(np.asarray(out.position))
+    eager_pos = np.stack(eager_pos)
+    eager_m = np.asarray(states.backend.ekf.m)
+
+    # one scan over the stacked sequence
+    sinit, srun = make_batched_scan(p, derived, (cam,), batch_size=B,
+                                    max_tracks=12, dtype=jnp.float32,
+                                    shared_frames=True)
+    states2 = sinit(imgs[0], np.full(B, 10.0), np.arange(B))
+    imu_stack = jax.tree.map(lambda *xs: jnp.stack(xs),
+                             *[imu_at(k) for k in range(steps)])
+    states2, pos = srun(states2, imu_stack, imgs[1:])
+    np.testing.assert_allclose(np.asarray(pos), eager_pos,
+                               rtol=1e-6, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(states2.backend.ekf.m), eager_m,
+                               rtol=1e-6, atol=1e-8)
+
+
 @pytest.mark.slow
 def test_mesh_sharded_matches_unsharded():
     assert len(jax.devices()) >= 8, "conftest must provide 8 virtual devices"
