@@ -578,7 +578,15 @@ def run_batched(p, derived, cams, seq, frames, F, B, dtype, config,
                               "lax.scan offline mode)" % B)
             extra["step_latency_ms"] = round(1000.0 * scan_s / (F - 1), 2)
 
-    if os.environ.get("BENCH_SCAN", "1") != "0":
+    # DEFAULT OFF on this driver's platform: the axon remote compiler
+    # SIGABRTs on any vmapped (B>=2) track stage under lax.scan / while
+    # (bisected round 5: B=1 compiles, B=2 crashes, vmap-of-scan and
+    # scan-of-vmap both crash, with and without Pallas), and its compile
+    # helper does not hit the persistent cache, so even a successful scan
+    # compile would be repaid every run. The machinery is CPU-tested
+    # (test_scan_matches_eager_loop) and one env flip away when the
+    # platform's compiler matures.
+    if os.environ.get("BENCH_SCAN", "0") != "0":
         run_stage("scan_throughput", 140, do_scan_throughput)
 
     # the long textured accuracy protocol (the benchmark-grade ATE
@@ -652,12 +660,19 @@ def run_batched(p, derived, cams, seq, frames, F, B, dtype, config,
             _ = np.asarray(last)  # value fetch = completion barrier
             return _time.perf_counter() - t0
 
-        # upload-only cost of one frame per step (same value-fetch barrier)
-        t0 = _time.perf_counter()
-        for fi in range(1, Fl):
-            dev = stage_one(host_frames[fi])
-            _ = np.asarray((dev[0] if isinstance(dev, tuple) else dev)[0, :1])
-        h2d_s = _time.perf_counter() - t0
+        # upload-only cost of one frame per step; block ONCE at the end (a
+        # per-frame value fetch would measure the link RTT per frame, not
+        # the transfer bandwidth — transfers complete in order on the
+        # stream, so readiness of the last implies all)
+        def timed_uploads(src):
+            t0 = _time.perf_counter()
+            staged = [stage_one(src[fi]) for fi in range(1, Fl)]
+            jax.block_until_ready(staged)
+            last = staged[-1]
+            _ = np.asarray((last[0] if isinstance(last, tuple) else last)[0, :1])
+            return _time.perf_counter() - t0
+
+        h2d_s = timed_uploads(host_frames)
 
         serial_s = timed_live(prefetch=False)
         overlap_s = timed_live(prefetch=True)
@@ -690,11 +705,7 @@ def run_batched(p, derived, cams, seq, frames, F, B, dtype, config,
                             np.arange(B))
         _, out_w = batched_step(st_w, batches[0], stage_one(u8_frames[1]))
         jax.block_until_ready(out_w.position)
-        t0 = _time.perf_counter()
-        for fi in range(1, Fl):
-            dev = stage_one(u8_frames[fi])
-            _ = np.asarray((dev[0] if isinstance(dev, tuple) else dev)[0, :1])
-        h2d_u8_s = _time.perf_counter() - t0
+        h2d_u8_s = timed_uploads(u8_frames)
         serial_u8_s = timed_live(prefetch=False, host_frames=u8_frames)
         overlap_u8_s = timed_live(prefetch=True, host_frames=u8_frames)
         extra["live_ingest"].update({
@@ -718,7 +729,7 @@ def run_batched(p, derived, cams, seq, frames, F, B, dtype, config,
         run_textured_long_staged(extra, run_stage, phase=2)
 
     if os.environ.get("BENCH_H2D", "1") != "0" and fetch_host is not None:
-        run_stage("live_ingest", 100, do_live_ingest)
+        run_stage("live_ingest", 130, do_live_ingest)
 
     if long_legs2:
         run_textured_long_staged(extra, run_stage, phase=3)

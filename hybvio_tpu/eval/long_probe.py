@@ -81,6 +81,11 @@ class _FrameCache:
     def get(self, fi: int):
         """-> tuple of (H, W) float32 DEVICE arrays, one per camera."""
         c = fi // self.chunk
+        self._ensure(c)
+        off = fi - self._cur[0] * self.chunk
+        return tuple(imgs[off] for imgs in self._cur[1])
+
+    def _ensure(self, c: int):
         if self._cur[0] != c:
             lo = c * self.chunk
             hi = min(lo + self.chunk, len(self.seq.frame_sample_idx))
@@ -88,8 +93,16 @@ class _FrameCache:
             self._cur = (c, tuple(
                 r(self.seq, idx, chunk=self.chunk, device=True)
                 for r in self.renderers))
-        off = fi - self._cur[0] * self.chunk
-        return tuple(imgs[off] for imgs in self._cur[1])
+
+    def get_range(self, lo: int, hi: int):
+        """-> tuple of (hi-lo, H, W) DEVICE arrays, one per camera; the
+        range must lie within one chunk (the lax.scan driver consumes whole
+        cached chunks, so no extra copies are made)."""
+        c = lo // self.chunk
+        assert (hi - 1) // self.chunk == c, "range spans chunks"
+        self._ensure(c)
+        off = lo - c * self.chunk
+        return tuple(imgs[off:off + (hi - lo)] for imgs in self._cur[1])
 
 
 def _build_world(family: str, seq, W: int, H: int, fx: float, coeffs,
@@ -207,9 +220,10 @@ def _run_jitted(family, duration, seed, frame_rate, imu_rate, chunk,
                                 scene_kwargs)
     frames = _FrameCache(seq, renderers, chunk=chunk)
 
-    init_fn, vio_step = make_vio(p, derived, cams,
-                                 max_tracks=p.tracker.maxTracks, dtype=dtype)
-    vio_step = jax.jit(vio_step)
+    init_fn, vio_step_raw = make_vio(p, derived, cams,
+                                     max_tracks=p.tracker.maxTracks,
+                                     dtype=dtype)
+    vio_step = jax.jit(vio_step_raw)
 
     F = len(seq.frame_sample_idx)
     f0 = tuple(jnp.asarray(im, dtype) for im in frames.get(0))
@@ -219,9 +233,7 @@ def _run_jitted(family, duration, seed, frame_rate, imu_rate, chunk,
     S_max = int(np.max(np.diff(np.concatenate([[0],
                                                seq.frame_sample_idx + 1]))))
 
-    t_start = time.perf_counter()
-    est = []
-    for fi in range(1, F):
+    def imu_for(fi, prev):
         k = seq.frame_sample_idx[fi] + 1
         n = k - prev
         pad = S_max - n
@@ -230,15 +242,62 @@ def _run_jitted(family, duration, seed, frame_rate, imu_rate, chunk,
         g = np.pad(seq.gyro[prev:k], ((0, pad), (0, 0)))
         a = np.pad(seq.acc[prev:k], ((0, pad), (0, 0)))
         valid = np.arange(S_max) < n
-        batch = ImuBatch(jnp.asarray(t, dtype), jnp.asarray(g, dtype),
-                         jnp.asarray(a, dtype), jnp.asarray(valid))
-        prev = k
-        imgs = tuple(jnp.asarray(im, dtype) for im in frames.get(fi))
-        state, out = vio_step(state, batch, *imgs)
-        est.append(np.asarray(out.position))
+        return (t, g, a, valid), k
+
+    # chunked lax.scan over the cached device-resident frame chunks: one
+    # device dispatch per chunk instead of one per frame. The scan body is
+    # the same vio_step, so trajectories are unchanged (test-enforced:
+    # test_long_probe_api.py test_long_probe_scan_matches_eager).
+    # DEFAULT OFF: on the axon remote-TPU platform the compile helper does
+    # not hit the persistent compilation cache, so the scan's extra trace
+    # lengths recompile every process and cost more than the dispatch they
+    # save (measured: 60 s stereo leg 107.7 s scan vs 58.8 s eager). On a
+    # TPU with a working compile cache set HYBVIO_LONG_SCAN=1.
+    import os as _os
+
+    use_scan = _os.environ.get("HYBVIO_LONG_SCAN", "0") != "0"
+
+    t_start = time.perf_counter()
+    est = []
+    if use_scan:
+        def chunk_scan(st, imu_stack, frame_stacks):
+            def body(s, xs):
+                imu, imgs = xs
+                s, out = vio_step_raw(s, ImuBatch(*imu), *imgs)
+                return s, out.position
+
+            return jax.lax.scan(body, st, (imu_stack, frame_stacks))
+
+        chunk_scan = jax.jit(chunk_scan)
+        lo = 1
+        while lo < F:
+            hi = min(((lo // chunk) + 1) * chunk, F)
+            imus = []
+            for fi in range(lo, hi):
+                b, prev = imu_for(fi, prev)
+                imus.append(b)
+            imu_stack = tuple(
+                jnp.asarray(np.stack([b[i] for b in imus]), dtype
+                            if i < 3 else bool)
+                for i in range(4))
+            frame_stacks = tuple(
+                s.astype(dtype) for s in frames.get_range(lo, hi))
+            state, pos = chunk_scan(state, imu_stack, frame_stacks)
+            est.append(np.asarray(pos))
+            lo = hi
+        est = np.concatenate(est)
+    else:
+        for fi in range(1, F):
+            b, prev = imu_for(fi, prev)
+            batch = ImuBatch(jnp.asarray(b[0], dtype),
+                             jnp.asarray(b[1], dtype),
+                             jnp.asarray(b[2], dtype), jnp.asarray(b[3]))
+            imgs = tuple(jnp.asarray(im, dtype) for im in frames.get(fi))
+            state, out = vio_step(state, batch, *imgs)
+            est.append(np.asarray(out.position))
+        est = np.stack(est)
     wall = time.perf_counter() - t_start
 
-    est = np.stack(est)
     finite = bool(np.isfinite(est).all())
     gt = seq.pos[seq.frame_sample_idx[1:F]] - seq.pos[0]
     ate = float(ate_rmse(est, gt)) if finite else float("nan")

@@ -32,6 +32,24 @@ def test_stereo_api_matches_jitted_loop():
 
 
 @pytest.mark.slow
+def test_long_probe_scan_matches_eager():
+    """The chunked lax.scan driver (default) must reproduce the eager
+    per-frame dispatch loop — same vio_step, same frame/IMU stream."""
+    import os
+
+    kw = dict(duration=6.0, width=192, frame_rate=10.0, imu_rate=100.0,
+              chunk=8)
+    os.environ["HYBVIO_LONG_SCAN"] = "1"
+    try:
+        scan = run_long_probe("stereo", **kw)
+    finally:
+        os.environ.pop("HYBVIO_LONG_SCAN")
+    eager = run_long_probe("stereo", **kw)
+    assert scan["finite"] and eager["finite"]
+    assert abs(scan["ate_rmse_m"] - eager["ate_rmse_m"]) < 1e-3, (scan, eager)
+
+
+@pytest.mark.slow
 def test_stereo_api_uses_native_sync_when_built():
     from hybvio_tpu.io.native_sync import native_available
 
