@@ -381,7 +381,7 @@ def main():
     elapsed = time.perf_counter() - t0
 
     fps = (F - 1) / elapsed
-    est = np.stack([np.asarray(x) for x in positions])
+    est = np.asarray(jnp.stack(positions))
     gt = seq.pos[seq.frame_sample_idx[1:F]] - seq.pos[0]
     ate = ate_rmse(est, gt) if np.isfinite(est).all() else float("nan")
 
@@ -487,7 +487,9 @@ def run_batched(p, derived, cams, seq, frames, F, B, dtype, config,
     del last_pos
 
     agg_fps = B * (F - 1) / elapsed_run
-    est = np.stack([np.asarray(x) for x in positions])  # (F-1, B, 3)
+    # one stacked fetch (a per-element np.asarray loop would pay one link
+    # round trip per frame)
+    est = np.asarray(jnp.stack(positions))  # (F-1, B, 3)
     gt = seq.pos[seq.frame_sample_idx[1:F]] - seq.pos[0]
     ates = []
     for b_ in range(B):
@@ -728,8 +730,9 @@ def run_batched(p, derived, cams, seq, frames, F, B, dtype, config,
     if long_legs2:
         run_textured_long_staged(extra, run_stage, phase=2)
 
+    # cheap after the headline run: reuses the in-process batched program
     if os.environ.get("BENCH_H2D", "1") != "0" and fetch_host is not None:
-        run_stage("live_ingest", 130, do_live_ingest)
+        run_stage("live_ingest", 80, do_live_ingest)
 
     if long_legs2:
         run_textured_long_staged(extra, run_stage, phase=3)
@@ -821,7 +824,7 @@ def run_seed_diverse(p, derived, cams, F, B, dtype, config, render,
         states, out = batched_step(states, jax.device_put(b), frames_at(fi))
         positions.append(out.position)
 
-    est = np.stack([np.asarray(x) for x in positions])  # (F-1, B, 3)
+    est = np.asarray(jnp.stack(positions))  # (F-1, B, 3)
     ates = []
     for b_ in range(B):
         lane = est[:, b_, :]
@@ -874,8 +877,10 @@ def run_textured_long_staged(extra, run_stage, phase=1):
     if phase == 2:
         # the SAME stereo run through the full VioApi + native sample sync:
         # the host/API layer gets benchmark-scale accuracy evidence next to
-        # the jitted-loop number (VERDICT r3 item 5)
-        run_stage("long_stereo_api", 130,
+        # the jitted-loop number (VERDICT r3 item 5). Cheap when it runs
+        # after the vislam leg: the jitted stereo step is the same in-process
+        # program, so this leg pays no compile.
+        run_stage("long_stereo_api", 80,
                   lambda: leg("stereo_api", duration=dur))
         return
 

@@ -294,8 +294,12 @@ def _run_jitted(family, duration, seed, frame_rate, imu_rate, chunk,
                              jnp.asarray(b[2], dtype), jnp.asarray(b[3]))
             imgs = tuple(jnp.asarray(im, dtype) for im in frames.get(fi))
             state, out = vio_step(state, batch, *imgs)
-            est.append(np.asarray(out.position))
-        est = np.stack(est)
+            # keep positions ON DEVICE: a per-frame value fetch costs one
+            # link round trip (~32 ms over the TPU tunnel) and serializes
+            # the async dispatch chain; one stacked fetch at the end costs
+            # one
+            est.append(out.position)
+        est = np.asarray(jnp.stack(est))
     wall = time.perf_counter() - t_start
 
     finite = bool(np.isfinite(est).all())
