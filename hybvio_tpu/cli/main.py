@@ -313,6 +313,11 @@ def run(argv=None) -> int:
     api = VioApi(params, W, H)
     if main_flags.get("timer"):
         api.time_stats.enabled = True
+        # SLAM worker per-keyframe stage timers (reference: slam::TIME_STATS
+        # singleton, util/timer.cpp:8-11)
+        from ..utils.timer import SLAM_TIME_STATS
+
+        SLAM_TIME_STATS.enabled = True
     n_out = [0]
     t_start = time.time()
 
@@ -681,6 +686,11 @@ def run(argv=None) -> int:
         # carries the reference's per-label table (main.cpp:1008-1016)
         api.attribute_stages()
         print(api.time_stats.report(), file=sys.stderr)
+        from ..utils.timer import SLAM_TIME_STATS
+
+        if SLAM_TIME_STATS.frames:
+            print("--- SLAM worker (per keyframe) ---", file=sys.stderr)
+            print(SLAM_TIME_STATS.report(), file=sys.stderr)
     if api.output_buffer is not None:
         # buffered-output statistics (reference: OutputBuffer FPS / latency
         # +/- / skips per second report, output_buffer.hpp:33-46)

@@ -331,6 +331,13 @@ def _run_api(family, duration, seed, frame_rate, imu_rate, chunk, overrides,
                                 scene_kwargs)
     frames = _FrameCache(seq, renderers, chunk=chunk)
 
+    if family == "vislam":
+        # per-keyframe SLAM stage attribution (reference: slam::TIME_STATS)
+        from ..utils.timer import SLAM_TIME_STATS
+
+        SLAM_TIME_STATS.reset()
+        SLAM_TIME_STATS.enabled = True
+
     api = VioApi(p, W, H, dtype=jnp.float32)
     outputs = []
     api.on_output = outputs.append
@@ -369,6 +376,8 @@ def _run_api(family, duration, seed, frame_rate, imu_rate, chunk, overrides,
            "teardown_s": round(teardown_s, 2),
            "native_sync": type(api.sample_sync).__name__ == "NativeSampleSync"}
     if family == "vislam":
+        from ..utils.timer import SLAM_TIME_STATS
+
         slam = api.slam.slam if api.slam else None
         out.update({"keyframes": len(slam.kf_order) if slam else 0,
                     "loop_events": len(slam.loop_events) if slam else 0,
@@ -377,5 +386,10 @@ def _run_api(family, duration, seed, frame_rate, imu_rate, chunk, overrides,
                     # policy (slam_coupling.py): nonzero means the SLAM host
                     # worker was starved (e.g. CPU contention) and the
                     # keyframe/loop counts undercount the design's capability
-                    "dropped_candidates": api.slam.dropped if api.slam else 0})
+                    "dropped_candidates": api.slam.dropped if api.slam else 0,
+                    # per-keyframe SLAM worker stage means, ms
+                    "slam_ms_per_kf": {
+                        k: round(v, 1) for k, v in
+                        SLAM_TIME_STATS.per_frame_timings().items()}})
+        SLAM_TIME_STATS.enabled = False
     return out

@@ -248,12 +248,20 @@ class Slam:
         self.next_kf_id += 1
         self._last_kf_time = t
 
+        # per-label keyframe timing (reference: slam::TIME_STATS scope
+        # timers, util/timer.hpp:54-64 + timer.cpp:8-11; reported by the CLI
+        # -timer flag and the bench vislam leg)
+        from ..utils.timer import SLAM_TIME_STATS as TS
+
+        TS.start_frame()
         if self.compute_descriptors and image is not None:
-            self._add_descriptors(
-                kf, image,
-                pix_pts[sel].copy() if pix_pts is not None else None)
+            with TS.scope("orb descriptors"):
+                self._add_descriptors(
+                    kf, image,
+                    pix_pts[sel].copy() if pix_pts is not None else None)
             if self.ps.orbExtraKeyPoints:
-                self._add_keypoints(kf, image)
+                with TS.scope("multi-scale keypoints"):
+                    self._add_keypoints(kf, image)
 
         self.keyframes[kf.kf_id] = kf
         self.kf_order.append(kf.kf_id)
@@ -265,18 +273,23 @@ class Slam:
             if kf.kp_desc is not None:
                 desc = np.concatenate([desc, kf.kp_desc])
                 val = np.concatenate([np.asarray(val, bool), kf.kp_valid])
-            self.vocabulary.add_keyframe(kf.kf_id, desc, val)
-        self._update_map_points(kf, t)
+            with TS.scope("bow vocabulary"):
+                self.vocabulary.add_keyframe(kf.kf_id, desc, val)
+        with TS.scope("map points"):
+            self._update_map_points(kf, t)
 
         if (self.store_keyframe_images and len(self.kf_order) >= 2
                 and kf.descriptors is not None):
             self._match_adjacent_for_viz(kf)
 
-        retried = self._retry_pending_loops()
-        loop = self._detect_loop_closure(kf)
-        self._local_ba()
-        self._cull_map_points(t)
-        self._cull_keyframes()
+        with TS.scope("loop closure"):
+            retried = self._retry_pending_loops()
+            loop = self._detect_loop_closure(kf)
+        with TS.scope("local BA"):
+            self._local_ba()
+        with TS.scope("culling"):
+            self._cull_map_points(t)
+            self._cull_keyframes()
 
         return SlamResult(
             pose_cw=pose_to_mat(self.keyframes[kf.kf_id].pose),
