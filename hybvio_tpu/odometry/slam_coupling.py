@@ -112,6 +112,7 @@ class SlamCoupling:
         # limiter (reference: sample_sync.cpp:140-162) — and counted.
         self.max_backlog = 2
         self.dropped = 0
+        self._quantize_u8 = None  # lazily jitted on-device u8 quantizer
 
     def _project_pixels(self, norm_pts: np.ndarray) -> np.ndarray:
         """Normalized points -> pixels through the REAL camera model
@@ -150,6 +151,26 @@ class SlamCoupling:
         if (self.frame_counter - 1) % self.interval != 0:
             return False
         odo_cw = self.imu_pose_to_camera_cw(pos, quat)
+
+        # device-resident float frames are quantized to uint8 ON DEVICE
+        # before the worker's D2H fetch: 4x fewer bytes over the link (a
+        # full-res f32 fetch cost ~0.15 s/candidate through the TPU tunnel —
+        # a major share of the worker budget and hence of candidate drops).
+        # The SLAM pipeline normalizes 8-bit frames; the reference's SLAM
+        # likewise consumes 8-bit gray (image.cpp:345-367). Dispatch here
+        # (async, main thread); the fetch happens later on the worker.
+        if image is not None and not isinstance(image, np.ndarray):
+            import jax.numpy as jnp
+
+            if hasattr(image, "dtype") and jnp.issubdtype(image.dtype,
+                                                          jnp.floating):
+                if self._quantize_u8 is None:
+                    import jax
+
+                    self._quantize_u8 = jax.jit(
+                        lambda x: (jnp.clip(x, 0.0, 1.0) * 255.0 + 0.5)
+                        .astype(jnp.uint8))
+                image = self._quantize_u8(image)
 
         # consume delayed results first (reference: backend.cpp:405-434)
         max_pending = max(self.delay_mult, 0)
