@@ -620,7 +620,7 @@ def run_batched(p, derived, cams, seq, frames, F, B, dtype, config,
         # With shared_frames the per-step upload is ONE frame copy —
         # exactly what the live path ships. Measured over a bounded frame
         # window (BENCH_LIVE_FRAMES) — upload cost per frame is stationary,
-        # so a ~120-frame window gives the same per-frame numbers as the
+        # so a ~60-frame window gives the same per-frame numbers as the
         # full sequence at a fraction of the wall cost.
         import threading
 
