@@ -110,3 +110,53 @@ def test_stereo_cli_timer_reports_stage_labels(tmp_path):
         m = re.search(r"\(x(\d+)\)", line)
         assert m, f"{sub} not per-frame accumulated: {line}"
         assert int(m.group(1)) >= 10, f"{sub} too few samples: {line}"
+
+
+@pytest.mark.slow
+def test_cli_use_slam_end_to_end(tmp_path):
+    """The reference's headline invocation (`./main -i=... -useSlam`,
+    README.md:95-104) through our CLI: full VioApi + async SLAM worker +
+    -timer (which must print the SLAM per-keyframe stage table), trajectory
+    scored against the dataset's ground truth."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "tools"))
+    from make_synthetic_dataset import make_dataset
+
+    data = str(tmp_path / "ds")
+    make_dataset(data, duration=6.0)
+    out_path = str(tmp_path / "out.jsonl")
+    env = dict(os.environ)
+    env["HYBVIO_PLATFORM"] = "cpu"
+    r = subprocess.run(
+        [sys.executable, "-m", "hybvio_tpu.cli.main",
+         f"-i={data}", f"-o={out_path}", "-useSlam", "-timer",
+         "-slam.keyframeCandidateInterval=4"],
+        capture_output=True, text=True, timeout=900,
+        cwd=os.path.join(os.path.dirname(__file__), ".."), env=env)
+    assert r.returncode == 0, r.stderr[-3000:]
+    # SLAM worker ran and reported its per-keyframe stage table
+    assert "SLAM worker (per keyframe)" in r.stderr, r.stderr[-2000:]
+
+    est, est_t = [], []
+    with open(out_path) as f:
+        for line in f:
+            d = json.loads(line)
+            est.append([d["position"]["x"], d["position"]["y"],
+                        d["position"]["z"]])
+            est_t.append(d["time"])
+    est = np.asarray(est)
+    assert len(est) >= 40 and np.isfinite(est).all()
+
+    gt, gt_t = [], []
+    with open(os.path.join(data, "data.jsonl")) as f:
+        for line in f:
+            d = json.loads(line)
+            if "groundTruth" in d:
+                p = d["groundTruth"]["position"]
+                gt.append([p["x"], p["y"], p["z"]])
+                gt_t.append(d["time"])
+    gt = np.asarray(gt)
+    gt_at = np.stack([np.interp(est_t, gt_t, gt[:, i]) for i in range(3)],
+                     axis=1)
+    gt_at -= gt_at[0]
+    ate = ate_rmse(est, gt_at)
+    assert ate < 0.15, ate
