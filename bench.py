@@ -86,7 +86,11 @@ def _watchdog():
         os._exit(0)
 
 
-threading.Thread(target=_watchdog, daemon=True).start()
+def start_watchdog():
+    """Arm the budget backstop. Called from main() — NOT at import: tools
+    that import bench helpers (build_config, build_device_renderer,
+    tools/profile_step.py) must not be os._exit'd 19 minutes in."""
+    threading.Thread(target=_watchdog, daemon=True).start()
 
 
 def stage_gate(extra: dict, name: str, est_s: float) -> bool:
@@ -247,6 +251,7 @@ def _mark(name, t0):
 def main():
     import jax
 
+    start_watchdog()
     t0 = time.monotonic()
     platform = _device_backend_or_cpu()
     t0 = _mark("probe", t0)

@@ -78,6 +78,7 @@ spec = importlib.util.spec_from_file_location("b", os.path.join(%r, "bench.py"))
 b = importlib.util.module_from_spec(spec)
 spec.loader.exec_module(b)
 b.RESULT.update({"metric": "partial", "value": 7, "extra": {}})
+b.start_watchdog()
 time.sleep(30)  # a hung stage; the watchdog must fire and exit
 print("UNREACHABLE")
 """
